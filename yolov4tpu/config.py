@@ -1,0 +1,95 @@
+"""Typed, frozen configuration for the YOLOv4-TPU framework.
+
+The reference keeps a single mutable module-global dict (``yolo_config``,
+reference config.py:1-17) that is silently shared by the model facade and the
+data pipeline (reference models.py:26-36, utils.py:135-138).  Here the config
+is one frozen dataclass threaded explicitly through model, data pipeline and
+trainer, so two consumers can never disagree.
+
+Default values reproduce reference config.py:1-17 exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloConfig:
+    """Hyperparameters for model topology, training and inference."""
+
+    # --- Basic (reference config.py:3-6) ---
+    img_size: Tuple[int, int, int] = (416, 416, 3)
+    anchors: Tuple[int, ...] = (
+        12, 16, 19, 36, 40, 28, 36, 75, 76, 55, 72, 146, 142, 110, 192, 243,
+        459, 401,
+    )
+    strides: Tuple[int, ...] = (8, 16, 32)
+    xyscale: Tuple[float, ...] = (1.2, 1.1, 1.05)
+
+    # --- Training (reference config.py:9-11) ---
+    iou_loss_thresh: float = 0.5
+    batch_size: int = 8
+    num_devices: int = 1  # reference calls this num_gpu; here: mesh data-axis size
+    learning_rate: float = 1e-4  # reference models.py:83
+    # Loss term weights (reference loss.py:131-133).
+    loss_box_weight: float = 3.54
+    loss_conf_weight: float = 64.3
+    loss_prob_weight: float = 1.0
+    # Optional extras the reference lists as TODOs (README.md:10-13).
+    label_smoothing: float = 0.0
+    use_mosaic: bool = False
+
+    # --- Inference (reference config.py:14-16) ---
+    max_boxes: int = 100
+    iou_threshold: float = 0.413
+    score_threshold: float = 0.3
+
+    # --- TPU-specific knobs (no reference equivalent) ---
+    compute_dtype: str = "float32"  # "bfloat16" for fast inference/training
+    nms_pre_top_k: int = 256  # per-class candidates considered by NMS
+    use_pallas_nms: bool = False  # route NMS through the Pallas kernel
+
+    def __post_init__(self):
+        # Same invariants the reference asserts (models.py:23-24).
+        if self.img_size[0] != self.img_size[1]:
+            raise ValueError("img_size must be square")
+        if self.img_size[0] % self.strides[-1] != 0:
+            raise ValueError("img_size must be a multiple of the last stride")
+        if len(self.anchors) != 18:
+            raise ValueError("expected 9 anchor (w, h) pairs")
+
+    # --- Derived quantities ---
+    @property
+    def num_scales(self) -> int:
+        return len(self.strides)
+
+    @property
+    def anchors_grouped(self) -> np.ndarray:
+        """Anchors as (num_scales, 3, 2) pixel-unit array (reference models.py:29)."""
+        return np.asarray(self.anchors, dtype=np.float32).reshape(3, 3, 2)
+
+    @property
+    def anchors_flat(self) -> np.ndarray:
+        """Anchors as (9, 2) for label encoding (reference utils.py:138)."""
+        return np.asarray(self.anchors, dtype=np.float32).reshape(9, 2)
+
+    def grid_sizes(self, img_size: int | None = None) -> Tuple[int, ...]:
+        """Feature-grid side length per scale.
+
+        The reference hard-codes 52/26/13 in its training model
+        (models.py:56-58); here they are always derived from img_size so any
+        /32-divisible resolution trains.
+        """
+        side = self.img_size[0] if img_size is None else img_size
+        return tuple(side // s for s in self.strides)
+
+    def replace(self, **kw) -> "YoloConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference-parity default instance (mirrors reference config.py yolo_config).
+DEFAULT_CONFIG = YoloConfig()

@@ -1,0 +1,303 @@
+"""Functional YOLOv4 network: parameter init, forward apply, BN folding.
+
+Pure-pytree design (no Module framework): ``init`` returns (params, state)
+pytrees; ``apply`` is a pure jittable function of them.  Parameters live in a
+flat list ordered by conv-creation order — the exact serial order darknet
+``.weights`` files use, which the reference matched through Keras auto-layer
+names (reference utils.py:19-21).
+
+Layer semantics parity (reference custom_layers.py:5-31):
+  - NHWC data, HWIO kernels.
+  - downsampling convs: explicit ((1,0),(1,0)) top/left zero-pad + stride-2
+    VALID conv (darknet-compatible padding).
+  - BatchNorm with Keras defaults (eps=1e-3, momentum=0.99).
+  - activations: mish = x*tanh(softplus(x)), leaky-relu alpha=0.1.
+  - kernel init N(0, 0.01); bias zeros; conv uses bias iff no BN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import topology
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+BN_EPS = 1e-3  # Keras BatchNormalization default epsilon
+BN_MOMENTUM = 0.99  # Keras BatchNormalization default momentum
+
+
+# ---------------------------------------------------------------------------
+# Conv layer spec (static metadata recorded at init, reused by the importer)
+# ---------------------------------------------------------------------------
+
+class ConvSpec:
+    """Static description of one conv layer, in darknet serial order."""
+
+    __slots__ = ("index", "in_ch", "filters", "kernel_size", "downsampling",
+                 "activation", "batch_norm")
+
+    def __init__(self, index, in_ch, filters, kernel_size, downsampling,
+                 activation, batch_norm):
+        self.index = index
+        self.in_ch = in_ch
+        self.filters = filters
+        self.kernel_size = kernel_size
+        self.downsampling = downsampling
+        self.activation = activation
+        self.batch_norm = batch_norm
+
+    def __repr__(self):
+        return (f"ConvSpec({self.index}: {self.in_ch}->{self.filters} "
+                f"k{self.kernel_size}{' s2' if self.downsampling else ''} "
+                f"{self.activation or 'linear'}{' bn' if self.batch_norm else ''})")
+
+
+# ---------------------------------------------------------------------------
+# Init: shape-trace the topology, creating params in call order
+# ---------------------------------------------------------------------------
+
+class _ShapeVal:
+    __slots__ = ("h", "w", "c")
+
+    def __init__(self, h, w, c):
+        self.h, self.w, self.c = h, w, c
+
+
+class _InitOps:
+    """Ops backend that traces shapes and materialises parameters."""
+
+    def __init__(self, rng: np.random.Generator):
+        self.rng = rng
+        self.specs: List[ConvSpec] = []
+        self.params: List[Dict[str, np.ndarray]] = []
+        self.state: List[Optional[Dict[str, np.ndarray]]] = []
+
+    def conv(self, x: _ShapeVal, filters: int, kernel_size: int,
+             downsampling: bool = False, activation: str = "leaky",
+             batch_norm: bool = True) -> _ShapeVal:
+        idx = len(self.specs)
+        spec = ConvSpec(idx, x.c, filters, kernel_size, downsampling,
+                        activation, batch_norm)
+        self.specs.append(spec)
+        w = self.rng.normal(0.0, 0.01,
+                            (kernel_size, kernel_size, x.c, filters)
+                            ).astype(np.float32)
+        p: Dict[str, np.ndarray] = {"w": w}
+        if batch_norm:
+            p["gamma"] = np.ones((filters,), np.float32)
+            p["beta"] = np.zeros((filters,), np.float32)
+            self.state.append({
+                "mean": np.zeros((filters,), np.float32),
+                "var": np.ones((filters,), np.float32),
+            })
+        else:
+            p["b"] = np.zeros((filters,), np.float32)
+            self.state.append(None)
+        self.params.append(p)
+        if downsampling:
+            return _ShapeVal(x.h // 2, x.w // 2, filters)
+        return _ShapeVal(x.h, x.w, filters)
+
+    def upsample(self, x: _ShapeVal) -> _ShapeVal:
+        return _ShapeVal(x.h * 2, x.w * 2, x.c)
+
+    def maxpool(self, x: _ShapeVal, pool: int) -> _ShapeVal:
+        return x  # stride-1 SAME pool: shape-preserving
+
+    def concat(self, xs: Sequence[_ShapeVal]) -> _ShapeVal:
+        return _ShapeVal(xs[0].h, xs[0].w, sum(v.c for v in xs))
+
+    def add(self, a: _ShapeVal, b: _ShapeVal) -> _ShapeVal:
+        return a
+
+
+def init(num_classes: int, img_size: int = 416,
+         seed: int = 0) -> Tuple[Params, State, List[ConvSpec]]:
+    """Create (params, state, conv_specs) for the full YOLOv4 network."""
+    ops = _InitOps(np.random.default_rng(seed))
+    x = _ShapeVal(img_size, img_size, 3)
+    topology.yolov4(ops, x, num_classes)
+    params = {"convs": ops.params}
+    state = {"bn": ops.state}
+    return params, state, ops.specs
+
+
+@functools.lru_cache(maxsize=8)
+def conv_specs(num_classes: int) -> Tuple[ConvSpec, ...]:
+    """Conv-layer inventory in darknet serial order (shape trace only)."""
+    ops = _InitOps(np.random.default_rng(0))
+    topology.yolov4(ops, _ShapeVal(416, 416, 3), num_classes)
+    return tuple(ops.specs)
+
+
+# ---------------------------------------------------------------------------
+# Apply: the jittable forward pass
+# ---------------------------------------------------------------------------
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _conv2d(x, w, stride: int, padding):
+    return lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _ApplyOps:
+    """Ops backend that consumes params sequentially and computes with jnp."""
+
+    def __init__(self, params: Params, state: State, train: bool,
+                 compute_dtype=jnp.float32):
+        self.convs = params["convs"]
+        self.bn = state["bn"]
+        self.train = train
+        self.dtype = compute_dtype
+        self.i = 0
+        self.new_bn: List[Optional[Dict[str, jnp.ndarray]]] = []
+
+    def conv(self, x, filters, kernel_size, downsampling=False,
+             activation="leaky", batch_norm=True):
+        p = self.convs[self.i]
+        bn = self.bn[self.i]
+        self.i += 1
+
+        if downsampling:
+            # Darknet-compatible top/left zero pad then VALID stride-2
+            # (reference custom_layers.py:9-11).
+            x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            stride, padding = 2, "VALID"
+        else:
+            stride, padding = 1, "SAME"
+
+        w = p["w"].astype(self.dtype)
+        y = _conv2d(x.astype(self.dtype), w, stride, padding)
+
+        if batch_norm:
+            gamma = p["gamma"]
+            beta = p["beta"]
+            if self.train:
+                yf = y.astype(jnp.float32)
+                mean = jnp.mean(yf, axis=(0, 1, 2))
+                var = jnp.var(yf, axis=(0, 1, 2))
+                self.new_bn.append({
+                    "mean": BN_MOMENTUM * bn["mean"] + (1 - BN_MOMENTUM) * mean,
+                    "var": BN_MOMENTUM * bn["var"] + (1 - BN_MOMENTUM) * var,
+                })
+            else:
+                mean, var = bn["mean"], bn["var"]
+                self.new_bn.append(bn)
+            scale = (gamma * lax.rsqrt(var + BN_EPS)).astype(self.dtype)
+            shift = (beta - mean * gamma * lax.rsqrt(var + BN_EPS)).astype(self.dtype)
+            y = y * scale + shift
+        else:
+            y = y + p["b"].astype(self.dtype)
+            self.new_bn.append(None)
+
+        if activation == "mish":
+            y = _mish(y)
+        elif activation == "leaky":
+            y = jax.nn.leaky_relu(y, negative_slope=0.1)
+        return y
+
+    def upsample(self, x):
+        # Keras UpSampling2D default: nearest, 2x (reference custom_layers.py:147).
+        b, h, w, c = x.shape
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return x.reshape(b, h * 2, w * 2, c)
+
+    def maxpool(self, x, pool: int):
+        # Stride-1 SAME max pool (SPP; reference custom_layers.py:130-133).
+        return lax.reduce_window(
+            x, -jnp.inf if x.dtype == jnp.float32 else jnp.array(-jnp.inf, x.dtype),
+            lax.max, window_dimensions=(1, pool, pool, 1),
+            window_strides=(1, 1, 1, 1), padding="SAME")
+
+    def concat(self, xs):
+        return jnp.concatenate(xs, axis=-1)
+
+    def add(self, a, b):
+        return a + b
+
+
+def apply(params: Params, state: State, images, num_classes: int,
+          train: bool = False, compute_dtype=jnp.float32):
+    """Forward pass: images (B,H,W,3) -> ([sbbox, mbbox, lbbox], new_state).
+
+    Raw un-activated head outputs, shapes (B, H/8, W/8, 3*(C+5)) etc.
+    When train=True, new_state carries updated BN moving statistics.
+    """
+    ops = _ApplyOps(params, state, train, compute_dtype)
+    outs = topology.yolov4(ops, images, num_classes)
+    outs = [o.astype(jnp.float32) for o in outs]
+    new_state = {"bn": ops.new_bn} if train else state
+    return outs, new_state
+
+
+# ---------------------------------------------------------------------------
+# BN folding: inference fast path
+# ---------------------------------------------------------------------------
+
+def fold_bn(params: Params, state: State) -> Params:
+    """Fold BN into conv weights+bias: w' = w*g/sqrt(v+eps), b' = b - m*g/sqrt(v+eps)+beta.
+
+    Halves inference HBM traffic for the affine ops and lets XLA fuse each
+    conv+bias+activation into one kernel.  Returns a params pytree of
+    {'w','b'} entries usable with apply_folded.
+    """
+    folded = []
+    for p, bn in zip(params["convs"], state["bn"]):
+        if bn is None:
+            folded.append({"w": p["w"], "b": p["b"]})
+        else:
+            g, be = p["gamma"], p["beta"]
+            m, v = bn["mean"], bn["var"]
+            scale = g * (1.0 / jnp.sqrt(v + BN_EPS))
+            folded.append({
+                "w": p["w"] * scale[None, None, None, :],
+                "b": be - m * scale,
+            })
+    return {"convs": folded}
+
+
+class _FoldedApplyOps(_ApplyOps):
+    """Apply backend over folded params (every conv is w+b, no BN)."""
+
+    def __init__(self, params, compute_dtype=jnp.float32):
+        self.convs = params["convs"]
+        self.dtype = compute_dtype
+        self.i = 0
+
+    def conv(self, x, filters, kernel_size, downsampling=False,
+             activation="leaky", batch_norm=True):
+        p = self.convs[self.i]
+        self.i += 1
+        if downsampling:
+            x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            stride, padding = 2, "VALID"
+        else:
+            stride, padding = 1, "SAME"
+        y = _conv2d(x.astype(self.dtype), p["w"].astype(self.dtype),
+                    stride, padding)
+        y = y + p["b"].astype(self.dtype)
+        if activation == "mish":
+            y = _mish(y)
+        elif activation == "leaky":
+            y = jax.nn.leaky_relu(y, negative_slope=0.1)
+        return y
+
+
+def apply_folded(folded_params: Params, images, num_classes: int,
+                 compute_dtype=jnp.float32):
+    """Inference forward over BN-folded params: images -> [sbbox, mbbox, lbbox]."""
+    ops = _FoldedApplyOps(folded_params, compute_dtype)
+    outs = topology.yolov4(ops, images, num_classes)
+    return [o.astype(jnp.float32) for o in outs]
