@@ -1,0 +1,38 @@
+"""Test harness config: run JAX on 8 virtual CPU devices.
+
+Multi-chip sharding is tested without a TPU pod by forcing the host platform
+and splitting it into 8 fake devices (SURVEY §4 distributed-test strategy).
+Must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: the 110-conv graph is expensive to compile on
+# one CPU core; cache hits make repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def tiny_classes(tmp_path_factory):
+    """A 3-class class-name file (mirrors bccd_classes.txt structure)."""
+    p = tmp_path_factory.mktemp("classes") / "classes.txt"
+    p.write_text("WBC\nPlatelets\nRBC\n")
+    return str(p)

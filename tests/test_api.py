@@ -1,0 +1,132 @@
+"""Facade tests: construction, predict pipeline, save/load, config handling,
+export_prediction -> eval_map integration."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from yolov4tpu.api import Yolov4, _config_from_dict
+from yolov4tpu.config import YoloConfig
+from yolov4tpu import weights
+
+CFG = YoloConfig(img_size=(64, 64, 3), batch_size=2, nms_pre_top_k=64)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("api")
+    classes = tmp / "classes.txt"
+    classes.write_text("a\nb\nc\n")
+    # Synthetic darknet weights so construction exercises the import path.
+    wpath = tmp / "synthetic.weights"
+    wpath.write_bytes(weights.random_darknet_bytes(3, seed=5))
+    m = Yolov4(weight_path=str(wpath), class_name_path=str(classes),
+               config=CFG)
+    # sane BN vars for numerics
+    for bn in m.state["bn"]:
+        if bn is not None:
+            bn["var"] = np.abs(bn["var"]) + 0.5
+    m._refresh_inference()
+    return m
+
+
+def test_construction_and_attrs(model):
+    assert model.num_classes == 3
+    assert model.output_sizes == [8, 4, 2]
+    assert model.anchors.shape == (3, 3, 2)
+    assert len(model.class_color) == 3
+
+
+def test_predict_batch_contract(model, rng):
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    boxes, scores, classes, valid = [np.asarray(o) for o in
+                                     model.predict_batch(imgs)]
+    assert boxes.shape == (2, 100, 4)
+    assert scores.shape == (2, 100)
+    assert classes.shape == (2, 100)
+    assert valid.shape == (2,)
+    assert boxes.min() >= 0 and boxes.max() <= 1
+
+
+def test_predict_img_dataframe(model, rng):
+    raw = (rng.uniform(0, 255, (120, 90, 3))).astype(np.uint8)
+    df = model.predict_img(raw, plot_img=False, random_color=True)
+    assert list(df.columns) == ["x1", "y1", "x2", "y2", "class_name",
+                                "score", "w", "h"]
+
+
+def test_predict_from_path_and_raw(model, tmp_path, rng):
+    import cv2
+    p = str(tmp_path / "img.jpg")
+    cv2.imwrite(p, rng.uniform(0, 255, (100, 100, 3)).astype(np.uint8))
+    df = model.predict(p, plot_img=False)
+    assert "class_name" in df.columns
+    raws = model.predict_raw(p)
+    assert [r.shape for r in raws] == [(1, 8, 8, 24), (1, 4, 4, 24),
+                                       (1, 2, 2, 24)]
+    df2 = model.predict_nonms(p, iou_threshold=0.5, score_threshold=0.01)
+    assert "score" in df2.columns
+
+
+def test_save_load_roundtrip(model, tmp_path):
+    p = str(tmp_path / "ckpt.npz")
+    model.save_model(p)
+    before = np.asarray(model.params["convs"][0]["w"]).copy()
+    model.load_model(p)
+    np.testing.assert_array_equal(np.asarray(model.params["convs"][0]["w"]),
+                                  before)
+    # darknet re-export roundtrip
+    wp = str(tmp_path / "re.weights")
+    model.save_model(wp)
+    params2, state2 = weights.load_darknet_weights(wp, 3)
+    np.testing.assert_allclose(params2["convs"][0]["w"],
+                               np.asarray(model.params["convs"][0]["w"]))
+
+
+def test_config_from_reference_dict():
+    ref_dict = {
+        "img_size": (416, 416, 3),
+        "anchors": [12, 16, 19, 36, 40, 28, 36, 75, 76, 55, 72, 146, 142,
+                    110, 192, 243, 459, 401],
+        "strides": [8, 16, 32],
+        "xyscale": [1.2, 1.1, 1.05],
+        "iou_loss_thresh": 0.5,
+        "batch_size": 8,
+        "num_gpu": 2,
+        "max_boxes": 100,
+        "iou_threshold": 0.413,
+        "score_threshold": 0.3,
+    }
+    cfg = _config_from_dict(ref_dict)
+    assert cfg.num_devices == 2
+    assert cfg.batch_size == 8
+    assert cfg.xyscale == (1.2, 1.1, 1.05)
+
+
+def test_export_prediction_eval_map_integration(model, tmp_path, rng):
+    """Full loop: images + annotations -> export_gt + export_prediction ->
+    eval_map produces output.txt (reference §3.4 call stack)."""
+    import cv2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"v{i}.jpg"),
+                    rng.uniform(0, 255, (80, 80, 3)).astype(np.uint8))
+        lines.append(f"v{i}.jpg 5,5,30,30,0 40,40,70,70,2\n")
+    anno = tmp_path / "anno.txt"
+    anno.write_text("".join(lines))
+
+    dirs = {k: str(tmp_path / k) for k in ("gt", "pred", "json", "out")}
+    model.export_gt(str(anno), dirs["gt"])
+    model.export_prediction(str(anno), dirs["pred"], str(img_dir), bs=2,
+                            verbose=False)
+    for i in range(3):
+        assert os.path.exists(os.path.join(dirs["gt"], f"v{i}.txt"))
+        assert os.path.exists(os.path.join(dirs["pred"], f"v{i}.txt"))
+    res = model.eval_map(dirs["gt"], dirs["pred"], dirs["json"], dirs["out"],
+                         plot=False, verbose=False)
+    assert "mAP" in res and 0.0 <= res["mAP"] <= 1.0
+    assert os.path.exists(os.path.join(dirs["out"], "output.txt"))

@@ -1,0 +1,142 @@
+"""Label-encoder tests: known boxes -> expected cell/anchor/one-hot, collision
+semantics, and numpy-loop equivalence (SURVEY hard part #3)."""
+
+import numpy as np
+
+from yolov4tpu.data.encode import (best_anchor_ious, encode_labels_jax,
+                                   preprocess_true_boxes)
+
+ANCHORS = np.array([12, 16, 19, 36, 40, 28, 36, 75, 76, 55, 72, 146, 142,
+                    110, 192, 243, 459, 401], np.float32).reshape(9, 2)
+
+
+def _reference_loop_encoder(true_boxes, input_shape, anchors, num_classes):
+    """Direct python-loop transcription of reference utils.py:210-303, used
+    as the ground truth the vectorised encoder must match."""
+    true_boxes = np.array(true_boxes, dtype="float32")
+    input_shape = np.array(input_shape, dtype="int32")
+    xy = (true_boxes[..., 0:2] + true_boxes[..., 2:4]) // 2
+    wh = true_boxes[..., 2:4] - true_boxes[..., 0:2]
+    norm = true_boxes.copy()
+    norm[..., 0:2] = xy / input_shape[::-1]
+    norm[..., 2:4] = wh / input_shape[::-1]
+    bs = true_boxes.shape[0]
+    grid_sizes = [input_shape // s for s in (8, 16, 32)]
+    y_true = [np.zeros((bs, g[0], g[1], 3, 5 + num_classes), "float32")
+              for g in grid_sizes]
+    anchor_mask = [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+    anchors_e = np.expand_dims(anchors, 0)
+    valid = wh[..., 0] > 0
+    for b in range(bs):
+        box_wh = wh[b, valid[b]]
+        if len(box_wh) == 0:
+            continue
+        box_wh_e = np.expand_dims(box_wh, -2)
+        inter_min = np.maximum(-box_wh_e / 2, -anchors_e / 2)
+        inter_max = np.minimum(box_wh_e / 2, anchors_e / 2)
+        inter = np.maximum(inter_max - inter_min, 0)
+        inter_area = np.prod(inter, axis=-1)
+        iou = inter_area / (box_wh_e[..., 0] * box_wh_e[..., 1]
+                            + anchors_e[..., 0] * anchors_e[..., 1]
+                            - inter_area)
+        best = np.argmax(iou, axis=-1)
+        for i in range(len(box_wh)):
+            for stage in range(3):
+                if best[i] in anchor_mask[stage]:
+                    xo = norm[b, i, 0] * grid_sizes[stage][1]
+                    yo = norm[b, i, 1] * grid_sizes[stage][0]
+                    col = int(np.floor(xo))
+                    row = int(np.floor(yo))
+                    a = anchor_mask[stage].index(best[i])
+                    c = int(norm[b, i, 4])
+                    y_true[stage][b, row, col, a, 0:2] = xy[b, i]
+                    y_true[stage][b, row, col, a, 2:4] = wh[b, i]
+                    y_true[stage][b, row, col, a, 4] = 1
+                    y_true[stage][b, row, col, a, 5 + c] = 1
+    return y_true, np.concatenate([xy, wh], axis=-1)
+
+
+def test_known_box_lands_in_expected_cell():
+    C = 3
+    boxes = np.zeros((1, 100, 5), np.float32)
+    # 100x60 box centered near (208, 208): wh IoU best with anchor 5 (72,146)?
+    boxes[0, 0] = [158, 178, 258, 238, 2]  # w=100 h=60 center (208, 208)
+    ious = best_anchor_ious(np.array([100.0, 60.0]), ANCHORS)
+    best = int(np.argmax(ious))
+    stage, a_idx = best // 3, best % 3
+    y_true, xywh = preprocess_true_boxes(boxes, (416, 416), ANCHORS, C)
+    g = 416 // (8, 16, 32)[stage]
+    col = int(208 / 416 * g)
+    row = int(208 / 416 * g)
+    cell = y_true[stage][0, row, col, a_idx]
+    np.testing.assert_allclose(cell[:4], [208, 208, 100, 60])
+    assert cell[4] == 1
+    assert cell[5 + 2] == 1
+    np.testing.assert_allclose(xywh[0, 0], [208, 208, 100, 60])
+    # everything else zero
+    total = sum(float(np.abs(y).sum()) for y in y_true)
+    assert total == float(np.abs(cell).sum())
+
+
+def test_vectorised_matches_reference_loop(rng):
+    C = 5
+    bs, M = 4, 100
+    boxes = np.zeros((bs, M, 5), np.float32)
+    for b in range(bs):
+        n = rng.integers(1, 40)
+        x1 = rng.uniform(0, 380, n)
+        y1 = rng.uniform(0, 380, n)
+        w = rng.uniform(4, 200, n)
+        h = rng.uniform(4, 200, n)
+        boxes[b, :n, 0] = x1
+        boxes[b, :n, 1] = y1
+        boxes[b, :n, 2] = np.minimum(x1 + w, 415)
+        boxes[b, :n, 3] = np.minimum(y1 + h, 415)
+        boxes[b, :n, 4] = rng.integers(0, C, n)
+    want_y, want_xywh = _reference_loop_encoder(boxes, (416, 416), ANCHORS, C)
+    got_y, got_xywh = preprocess_true_boxes(boxes, (416, 416), ANCHORS, C)
+    np.testing.assert_allclose(got_xywh, want_xywh)
+    for gy, wy in zip(got_y, want_y):
+        np.testing.assert_allclose(gy, wy)
+
+
+def test_collision_semantics_last_write_wins_onehot_accumulates():
+    """Two boxes to the same (cell, anchor): later box's xy/wh/conf win, but
+    BOTH one-hot class flags stay set (reference field-wise writes)."""
+    C = 3
+    boxes = np.zeros((1, 100, 5), np.float32)
+    boxes[0, 0] = [100, 100, 200, 200, 0]  # center (150,150) w=h=100
+    boxes[0, 1] = [102, 102, 198, 198, 2]  # center (150,150) w=h=96 same anchor
+    ious0 = best_anchor_ious(np.array([100.0, 100.0]), ANCHORS)
+    ious1 = best_anchor_ious(np.array([96.0, 96.0]), ANCHORS)
+    assert int(np.argmax(ious0)) == int(np.argmax(ious1))  # test is meaningful
+    want_y, _ = _reference_loop_encoder(boxes, (416, 416), ANCHORS, C)
+    got_y, _ = preprocess_true_boxes(boxes, (416, 416), ANCHORS, C)
+    for gy, wy in zip(got_y, want_y):
+        np.testing.assert_allclose(gy, wy)
+    stage = int(np.argmax(ious0)) // 3
+    a = int(np.argmax(ious0)) % 3
+    g = 416 // (8, 16, 32)[stage]
+    cell = got_y[stage][0, int(150 / 416 * g), int(150 / 416 * g), a]
+    np.testing.assert_allclose(cell[:4], [150, 150, 96, 96])  # last write
+    assert cell[5 + 0] == 1 and cell[5 + 2] == 1  # both one-hots
+
+
+def test_empty_batch():
+    y_true, xywh = preprocess_true_boxes(np.zeros((2, 100, 5), np.float32),
+                                         (416, 416), ANCHORS, 3)
+    assert all(float(np.abs(y).sum()) == 0 for y in y_true)
+    assert xywh.shape == (2, 100, 4)
+
+
+def test_jax_encoder_matches_numpy_when_no_collisions(rng):
+    C = 4
+    boxes = np.zeros((2, 100, 5), np.float32)
+    boxes[0, 0] = [10, 10, 50, 50, 1]
+    boxes[0, 1] = [200, 200, 380, 390, 3]
+    boxes[1, 0] = [100, 30, 140, 90, 0]
+    want_y, want_xywh = preprocess_true_boxes(boxes, (416, 416), ANCHORS, C)
+    got_y, got_xywh = encode_labels_jax(boxes, (416, 416), ANCHORS, C)
+    np.testing.assert_allclose(np.asarray(got_xywh), want_xywh)
+    for gy, wy in zip(got_y, want_y):
+        np.testing.assert_allclose(np.asarray(gy), wy)

@@ -1,0 +1,153 @@
+"""Network structure + layer-semantics tests (SURVEY §4 unit tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov4tpu.models import network
+
+
+def test_conv_inventory_matches_darknet_contract():
+    """110 convs; bias (no-BN) convs exactly at serial indices 93/101/109
+    (reference utils.py:13-14)."""
+    specs = network.conv_specs(80)
+    assert len(specs) == 110
+    assert [s.index for s in specs if not s.batch_norm] == [93, 101, 109]
+    # Head convs emit 3*(80+5)=255 channels, kernel 1, linear activation.
+    for i in (93, 101, 109):
+        assert specs[i].filters == 255
+        assert specs[i].kernel_size == 1
+        assert specs[i].activation is None
+
+
+def test_param_count_yolov4_coco():
+    """YOLOv4-COCO has ~64.36M parameters (conv + BN)."""
+    params, state, specs = network.init(80, img_size=416)
+    n = sum(int(np.prod(v.shape)) for p in params["convs"] for v in p.values())
+    n += sum(int(np.prod(v.shape)) for bn in state["bn"] if bn
+             for v in bn.values())
+    assert n == 64429405  # 64363101 trainable + 66304 BN moving stats
+
+
+def test_forward_shapes_and_grid_derivation():
+    """Raw heads at strides 8/16/32; grid sizes derived from img size (the
+    reference hard-codes 52/26/13, models.py:56-58 — we must not)."""
+    for size in (96, 64):
+        params, state, _ = network.init(3, img_size=size, seed=0)
+        x = jnp.zeros((2, size, size, 3))
+        outs, _ = network.apply(params, state, x, num_classes=3)
+        assert [o.shape for o in outs] == [
+            (2, size // 8, size // 8, 24),
+            (2, size // 16, size // 16, 24),
+            (2, size // 32, size // 32, 24),
+        ]
+
+
+def test_downsample_padding_matches_darknet():
+    """Downsampling conv = top/left zero-pad + stride-2 VALID
+    (reference custom_layers.py:9-11): output pixel (0,0) must see input
+    rows/cols [-1..1] zero-padded, i.e. align with even input positions."""
+    x = np.zeros((1, 4, 4, 1), np.float32)
+    x[0, 0, 0, 0] = 1.0  # top-left input pixel
+    w = np.ones((3, 3, 1, 1), np.float32)
+    xp = jnp.pad(jnp.asarray(x), ((0, 0), (1, 0), (1, 0), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, jnp.asarray(w), (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y.shape == (1, 2, 2, 1)
+    # pixel (0,0) covers padded rows 0..2 = input rows -1..1 -> sees the 1
+    assert y[0, 0, 0, 0] == 1.0
+    # pixel (1,1) covers input rows 1..3, cols 1..3 -> all zero
+    assert y[0, 1, 1, 0] == 0.0
+
+
+def test_mish_and_leaky_values():
+    import math
+    x = jnp.asarray([-2.0, -0.5, 0.0, 1.0, 3.0])
+    got = network._mish(x)
+    want = np.array([v * math.tanh(math.log1p(math.exp(v))) for v in
+                     [-2.0, -0.5, 0.0, 1.0, 3.0]])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    leaky = jax.nn.leaky_relu(x, 0.1)
+    np.testing.assert_allclose(leaky, [-0.2, -0.05, 0.0, 1.0, 3.0], rtol=1e-6)
+
+
+def test_bn_inference_math_keras_eps():
+    """Inference BN: (x-mean)/sqrt(var+1e-3)*gamma+beta (Keras default eps)."""
+    params, state, _ = network.init(3, img_size=32, seed=0)
+    p0 = params["convs"][0]
+    bn0 = state["bn"][0]
+    bn0["mean"][:] = 0.5
+    bn0["var"][:] = 2.0
+    p0["gamma"][:] = 1.5
+    p0["beta"][:] = 0.25
+
+    x = jnp.ones((1, 32, 32, 3)) * 0.1
+    outs, _ = network.apply(params, state, x, num_classes=3)
+
+    # Recompute conv0's raw output by hand and check the BN affine on it.
+    raw = jax.lax.conv_general_dilated(
+        x, jnp.asarray(p0["w"]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = (raw - 0.5) / np.sqrt(2.0 + 1e-3) * 1.5 + 0.25
+    want = jax.nn.leaky_relu(want, 0.1)
+
+    # Verify through a 1-conv forward using the internal ops object.
+    ops = network._ApplyOps(params, state, train=False)
+    got = ops.conv(x, 32, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_bn_train_updates_moving_stats():
+    params, state, _ = network.init(3, img_size=32, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    _, new_state = network.apply(params, state, x, num_classes=3, train=True)
+    old0, new0 = state["bn"][0], new_state["bn"][0]
+    assert not np.allclose(old0["mean"], new0["mean"])
+    # momentum 0.99: moving stats move only 1% toward batch stats
+    delta = np.abs(np.asarray(new0["mean"]) - np.asarray(old0["mean"]))
+    assert delta.max() < 0.2
+
+
+def test_fold_bn_equivalence():
+    """BN-folded inference == unfolded inference (within fp tolerance)."""
+    params, state, _ = network.init(3, img_size=64, seed=0)
+    # Randomise BN stats so folding is non-trivial.
+    key = jax.random.PRNGKey(7)
+    for i, bn in enumerate(state["bn"]):
+        if bn is None:
+            continue
+        k1, k2, key = jax.random.split(key, 3)
+        bn["mean"] = np.asarray(jax.random.normal(k1, bn["mean"].shape)) * 0.1
+        bn["var"] = np.abs(np.asarray(jax.random.normal(k2, bn["var"].shape))) + 0.5
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    ref, _ = network.apply(params, state, x, num_classes=3)
+    folded = network.fold_bn(params, state)
+    got = network.apply_folded(folded, x, num_classes=3)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_upsample_nearest():
+    params, state, _ = network.init(3, img_size=32)
+    ops = network._ApplyOps(params, state, train=False)
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = ops.upsample(x)
+    assert y.shape == (1, 4, 4, 1)
+    np.testing.assert_array_equal(
+        np.asarray(y[0, :, :, 0]),
+        [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]])
+
+
+def test_spp_maxpool_same():
+    params, state, _ = network.init(3, img_size=32)
+    ops = network._ApplyOps(params, state, train=False)
+    x = jnp.zeros((1, 8, 8, 1)).at[0, 4, 4, 0].set(5.0)
+    y = ops.maxpool(x, 5)
+    assert y.shape == x.shape
+    # 5x5 window: positions within chebyshev distance 2 of (4,4) see the max
+    assert y[0, 2, 2, 0] == 5.0
+    assert y[0, 1, 1, 0] == 0.0

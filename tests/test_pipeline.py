@@ -1,0 +1,114 @@
+"""Data-pipeline tests: stretch resize, box scaling, batching, mosaic,
+prefetch, annotation IO."""
+
+import numpy as np
+import pytest
+
+from yolov4tpu.config import YoloConfig
+from yolov4tpu.data.pipeline import DataGenerator, load_and_resize, mosaic4, prefetch
+from yolov4tpu.utils.io import (parse_annotation_line, read_annotation_lines,
+                                read_txt_to_list)
+
+CFG = YoloConfig(img_size=(64, 64, 3), batch_size=2)
+
+
+@pytest.fixture()
+def dataset(tmp_path, rng):
+    import cv2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(5):
+        h, w = 100 + 10 * i, 120
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"), img)
+        lines.append(f"im{i}.jpg 10,10,50,60,0 20,30,{w-10},{h-5},1\n")
+    classes = tmp_path / "classes.txt"
+    classes.write_text("a\nb\n")
+    anno = tmp_path / "anno.txt"
+    anno.write_text("".join(lines))
+    return {"img_dir": str(img_dir), "classes": str(classes),
+            "anno": str(anno), "lines": lines}
+
+
+def test_load_and_resize_stretch(dataset):
+    """Stretch resize (no letterbox) + box rescale (reference utils.py:187-204)."""
+    boxes = np.array([[10, 10, 60, 50, 0]], np.float32)
+    img, out = load_and_resize(f"{dataset['img_dir']}/im0.jpg", (64, 64), boxes)
+    assert img.shape == (64, 64, 3)
+    assert img.dtype == np.float32
+    assert 0 <= img.min() and img.max() <= 1.0
+    # original 100h x 120w -> scale_w 64/120, scale_h 64/100
+    np.testing.assert_allclose(out[0, :4],
+                               [10 * 64 / 120, 10 * 64 / 100,
+                                60 * 64 / 120, 50 * 64 / 100], rtol=1e-5)
+
+
+def test_generator_batches(dataset):
+    gen = DataGenerator(dataset["lines"], dataset["classes"],
+                        dataset["img_dir"], config=CFG, seed=0)
+    assert len(gen) == 3  # ceil(5/2)
+    b = gen.get_batch(0)
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert [l.shape for l in b["labels"]] == [
+        (2, 8, 8, 3, 7), (2, 4, 4, 3, 7), (2, 2, 2, 3, 7)]
+    assert b["boxes"].shape == (2, 100, 4)
+    # reference-format __getitem__
+    inputs, dummy = gen[0]
+    assert len(inputs) == 5 and len(dummy) == 2
+
+
+def test_generator_epoch_shuffle(dataset):
+    g1 = DataGenerator(dataset["lines"], dataset["classes"],
+                       dataset["img_dir"], config=CFG, shuffle=True, seed=1)
+    order1 = g1.indexes.copy()
+    g1.on_epoch_end()
+    assert not np.array_equal(order1, g1.indexes) or len(order1) < 3
+    g2 = DataGenerator(dataset["lines"], dataset["classes"],
+                       dataset["img_dir"], config=CFG, shuffle=False)
+    np.testing.assert_array_equal(g2.indexes, np.arange(5))
+
+
+def test_mosaic4(dataset, rng):
+    samples = []
+    for i in range(4):
+        boxes = np.array([[5, 5, 40, 40, i % 2]], np.float32)
+        img, b = load_and_resize(f"{dataset['img_dir']}/im{i}.jpg", (64, 64),
+                                 boxes)
+        samples.append((img, b))
+    img, boxes = mosaic4(samples, (64, 64), rng)
+    assert img.shape == (64, 64, 3)
+    if len(boxes):
+        assert boxes[:, 0].min() >= 0 and boxes[:, 2].max() <= 64
+        assert np.all(boxes[:, 2] > boxes[:, 0])
+        assert np.all(boxes[:, 3] > boxes[:, 1])
+
+
+def test_prefetch_yields_all_batches(dataset):
+    gen = DataGenerator(dataset["lines"], dataset["classes"],
+                        dataset["img_dir"], config=CFG, seed=0)
+    batches = list(prefetch(gen, epochs=2))
+    assert len(batches) == 2 * len(gen)
+    assert all(b["image"].shape[1:] == (64, 64, 3) for b in batches)
+
+
+def test_read_annotation_lines_split(dataset):
+    lines = read_annotation_lines(dataset["anno"])
+    assert len(lines) == 5
+    train, val = read_annotation_lines(dataset["anno"], test_size=0.4)
+    assert len(train) == 3 and len(val) == 2
+    # seeded -> deterministic
+    train2, val2 = read_annotation_lines(dataset["anno"], test_size=0.4)
+    assert train == train2 and val == val2
+
+
+def test_parse_annotation_line():
+    name, boxes = parse_annotation_line("a.jpg 1,2,3,4,0 5,6,7,8,2")
+    assert name == "a.jpg"
+    assert boxes == [[1, 2, 3, 4, 0], [5, 6, 7, 8, 2]]
+
+
+def test_read_txt_to_list(tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("a b\n c d \n")
+    assert read_txt_to_list(str(p)) == ["a b", "c d"]

@@ -1,0 +1,103 @@
+"""Darknet .weights importer tests: byte layout, BN reorder, transpose,
+EOF integrity, save/load roundtrip (SURVEY hard part #1)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from yolov4tpu import weights
+from yolov4tpu.models.network import conv_specs
+
+
+def test_roundtrip_save_load(tmp_path):
+    C = 3
+    data = weights.random_darknet_bytes(C, seed=42)
+    params, state = weights.load_darknet_weights(io.BytesIO(data), C)
+
+    path = tmp_path / "rt.weights"
+    weights.save_darknet_weights(params, state, path)
+    assert path.read_bytes() == data
+
+    params2, state2 = weights.load_darknet_weights(str(path), C)
+    for p1, p2 in zip(params["convs"], params2["convs"]):
+        for k in p1:
+            np.testing.assert_array_equal(p1[k], p2[k])
+
+
+def test_byte_layout_first_conv():
+    """Hand-build the stream for conv 0 (32 filters, 3x3x3) and verify the BN
+    reorder [beta,gamma,mean,var]->[gamma,beta,...] and kernel transpose
+    (out,in,h,w)->(h,w,in,out) (reference utils.py:29-42)."""
+    C = 3
+    specs = conv_specs(C)
+    out = io.BytesIO()
+    out.write(np.asarray([0, 2, 5, 123, 0], np.int32).tobytes())
+
+    f0 = specs[0].filters
+    beta = np.arange(f0, dtype=np.float32)
+    gamma = np.arange(f0, dtype=np.float32) + 100
+    mean = np.arange(f0, dtype=np.float32) + 200
+    var = np.arange(f0, dtype=np.float32) + 300
+    out.write(np.concatenate([beta, gamma, mean, var]).tobytes())
+    w0 = np.arange(f0 * 3 * 3 * 3, dtype=np.float32).reshape(f0, 3, 3, 3)
+    out.write(w0.tobytes())
+
+    # Fill the rest with zeros of the right sizes.
+    for spec in specs[1:]:
+        n = (4 * spec.filters if spec.batch_norm else spec.filters)
+        out.write(np.zeros(n, np.float32).tobytes())
+        out.write(np.zeros(spec.filters * spec.in_ch * spec.kernel_size ** 2,
+                           np.float32).tobytes())
+
+    params, state = weights.load_darknet_weights(io.BytesIO(out.getvalue()), C)
+    np.testing.assert_array_equal(params["convs"][0]["gamma"], gamma)
+    np.testing.assert_array_equal(params["convs"][0]["beta"], beta)
+    np.testing.assert_array_equal(state["bn"][0]["mean"], mean)
+    np.testing.assert_array_equal(state["bn"][0]["var"], var)
+    # kernel: darknet (out,in,h,w) -> ours (h,w,in,out)
+    np.testing.assert_array_equal(params["convs"][0]["w"],
+                                  w0.transpose(2, 3, 1, 0))
+    assert params["convs"][0]["w"].shape == (3, 3, 3, f0)
+
+
+def test_head_convs_have_bias_not_bn():
+    C = 2
+    data = weights.random_darknet_bytes(C, seed=0)
+    params, state = weights.load_darknet_weights(io.BytesIO(data), C)
+    for i, (p, bn) in enumerate(zip(params["convs"], state["bn"])):
+        if i in (93, 101, 109):
+            assert "b" in p and bn is None
+            assert p["b"].shape == (3 * (C + 5),)
+        else:
+            assert "gamma" in p and bn is not None
+
+
+def test_eof_integrity_check():
+    """Trailing bytes (wrong class count) must raise (reference utils.py:50-53
+    only printed a warning; we fail loudly)."""
+    data = weights.random_darknet_bytes(3, seed=1)
+    with pytest.raises(ValueError, match="not fully consumed"):
+        weights.load_darknet_weights(io.BytesIO(data + b"\x00" * 16), 3)
+    with pytest.raises(ValueError, match="truncated"):
+        weights.load_darknet_weights(io.BytesIO(data[:-16]), 3)
+
+
+def test_loaded_weights_drive_forward(tmp_path):
+    """End-to-end: synthetic .weights -> forward pass runs and is finite."""
+    import jax.numpy as jnp
+    from yolov4tpu.models import network
+
+    C = 3
+    data = weights.random_darknet_bytes(C, seed=7)
+    params, state = weights.load_darknet_weights(io.BytesIO(data), C)
+    # Make BN variances positive-sane for numerics.
+    for bn in state["bn"]:
+        if bn is not None:
+            bn["var"] = np.abs(bn["var"]) + 0.5
+    x = jnp.full((1, 64, 64, 3), 0.5)
+    outs, _ = network.apply(params, state, x, num_classes=C)
+    assert [o.shape for o in outs] == [(1, 8, 8, 24), (1, 4, 4, 24),
+                                       (1, 2, 2, 24)]
+    for o in outs:
+        assert bool(jnp.isfinite(o).all())

@@ -61,8 +61,10 @@ def preprocess_true_boxes(
     xy = (true_boxes[..., 0:2] + true_boxes[..., 2:4]) // 2  # floor: parity
     wh = true_boxes[..., 2:4] - true_boxes[..., 0:2]
     # Normalised relative to (w, h) — note input_shape is (h, w), reversed
-    # exactly as the reference does (utils.py:237-238).
-    norm_xy = xy / input_shape[::-1]
+    # exactly as the reference does (utils.py:237-238).  float32 like the
+    # reference's in-place store (it writes into a float32 array), so cell
+    # rounding at grid boundaries matches bit-for-bit.
+    norm_xy = (xy / input_shape[::-1]).astype(np.float32)
 
     grid_sizes = [input_shape // s for s in strides]
     y_true = [

@@ -1,0 +1,201 @@
+"""Host-side input pipeline: annotation lines -> device-ready numpy batches.
+
+Reference behaviours kept exactly (reference utils.py:121-207):
+  - stretch (non-letterbox) cv2 resize to the target size, /255 scaling;
+  - BGR->RGB read, box rescale by (w/iw, h/ih);
+  - per-image box shuffle and truncation to max_boxes;
+  - epoch-end index shuffle.
+
+Beyond the reference:
+  - config is passed explicitly (the reference's DataGenerator silently read
+    the module-global dict, utils.py:135-138);
+  - mosaic augmentation + label smoothing hooks (the reference's unchecked
+    TODOs, README.md:10-13);
+  - a background prefetch thread that overlaps host decode with device step
+    (SURVEY hard part #4: the host image pipeline feeds a much faster chip).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, YoloConfig
+from .encode import preprocess_true_boxes
+
+
+def load_and_resize(img_path: str, target_hw, boxes: np.ndarray):
+    """cv2 read (BGR->RGB) + stretch resize + box rescale
+    (reference utils.py:187-204)."""
+    import cv2
+
+    img = cv2.imread(img_path)
+    if img is None:
+        raise FileNotFoundError(img_path)
+    img = img[:, :, ::-1]
+    ih, iw = img.shape[:2]
+    h, w = target_hw
+    img = cv2.resize(img, (w, h)).astype(np.float32) / 255.0
+    if len(boxes):
+        boxes = boxes.astype(np.float32).copy()
+        boxes[:, [0, 2]] *= w / iw
+        boxes[:, [1, 3]] *= h / ih
+    return img, boxes
+
+
+def mosaic4(samples, target_hw, rng: np.random.Generator):
+    """Mosaic augmentation: 4 (img, boxes) -> one mosaic (img, boxes).
+
+    Implements the reference's unchecked 'Mosaic data augmentation' TODO
+    (reference README.md:11).  Each source image is stretch-resized into one
+    quadrant around a random center; boxes follow affinely and are clipped.
+    """
+    import cv2
+
+    h, w = target_hw
+    cy = int(rng.uniform(0.3, 0.7) * h)
+    cx = int(rng.uniform(0.3, 0.7) * w)
+    canvas = np.zeros((h, w, 3), np.float32)
+    out_boxes = []
+    quads = [(0, 0, cx, cy), (cx, 0, w - cx, cy),
+             (0, cy, cx, h - cy), (cx, cy, w - cx, h - cy)]
+    for (img, boxes), (x0, y0, qw, qh) in zip(samples, quads):
+        if qw < 2 or qh < 2:
+            continue
+        sh, sw = img.shape[:2]
+        canvas[y0:y0 + qh, x0:x0 + qw] = cv2.resize(img, (qw, qh))
+        if len(boxes):
+            b = boxes.astype(np.float32).copy()
+            b[:, [0, 2]] = b[:, [0, 2]] * (qw / sw) + x0
+            b[:, [1, 3]] = b[:, [1, 3]] * (qh / sh) + y0
+            b[:, [0, 2]] = np.clip(b[:, [0, 2]], x0, x0 + qw)
+            b[:, [1, 3]] = np.clip(b[:, [1, 3]], y0, y0 + qh)
+            keep = ((b[:, 2] - b[:, 0]) > 2) & ((b[:, 3] - b[:, 1]) > 2)
+            out_boxes.append(b[keep])
+    boxes = (np.concatenate(out_boxes, axis=0) if out_boxes
+             else np.zeros((0, 5), np.float32))
+    return canvas, boxes
+
+
+class DataGenerator:
+    """Batched data generator (reference utils.py:121-207 equivalent).
+
+    Yields dict batches {'image': (B,H,W,3), 'labels': [3 grids],
+    'boxes': (B,max_boxes,4)}; ``__getitem__`` also offers the reference's
+    tuple format for drop-in familiarity.
+    """
+
+    def __init__(self, annotation_lines: Sequence[str], class_name_path: str,
+                 folder_path: str, max_boxes: int = 100, shuffle: bool = True,
+                 config: YoloConfig = DEFAULT_CONFIG, mosaic: bool = False,
+                 seed: Optional[int] = None):
+        self.annotation_lines = list(annotation_lines)
+        self.num_classes = len([l.strip() for l in open(class_name_path)])
+        self.config = config
+        self.batch_size = config.batch_size * config.num_devices
+        self.target_img_size = config.img_size
+        self.anchors = config.anchors_flat
+        self.shuffle = shuffle
+        self.folder_path = folder_path
+        self.max_boxes = max_boxes
+        self.mosaic = mosaic or config.use_mosaic
+        self.rng = np.random.default_rng(seed)
+        self.indexes = np.arange(len(self.annotation_lines))
+        self.on_epoch_end()
+
+    def __len__(self) -> int:
+        return int(np.ceil(len(self.annotation_lines) / self.batch_size))
+
+    def on_epoch_end(self):
+        if self.shuffle:
+            self.rng.shuffle(self.indexes)
+
+    # -- single-sample load ------------------------------------------------
+    def _load_line(self, line: str):
+        parts = line.split()
+        img_path = os.path.join(self.folder_path, parts[0])
+        boxes = np.array([[float(v) for v in b.split(",")] for b in parts[1:]],
+                         dtype=np.float32).reshape(-1, 5)
+        return load_and_resize(img_path, self.target_img_size[:2], boxes)
+
+    def get_data(self, annotation_line: str):
+        """(img float32 HWC /255, box_data (max_boxes,5)) for one line."""
+        img, boxes = self._load_line(annotation_line)
+        if self.mosaic:
+            extra = [self._load_line(self.annotation_lines[i]) for i in
+                     self.rng.integers(0, len(self.annotation_lines), 3)]
+            img, boxes = mosaic4([(img, boxes)] + extra,
+                                 self.target_img_size[:2], self.rng)
+        box_data = np.zeros((self.max_boxes, 5), np.float32)
+        if len(boxes):
+            perm = self.rng.permutation(len(boxes))
+            boxes = boxes[perm][:self.max_boxes]
+            box_data[:len(boxes)] = boxes
+        return img, box_data
+
+    # -- batching ----------------------------------------------------------
+    def get_batch(self, index: int) -> dict:
+        idxs = self.indexes[index * self.batch_size:(index + 1) * self.batch_size]
+        lines = [self.annotation_lines[i] for i in idxs]
+        n = len(lines)
+        X = np.empty((n, *self.target_img_size), np.float32)
+        y_bbox = np.empty((n, self.max_boxes, 5), np.float32)
+        for i, line in enumerate(lines):
+            X[i], y_bbox[i] = self.get_data(line)
+        y_tensor, y_true_boxes_xywh = preprocess_true_boxes(
+            y_bbox, self.target_img_size[:2], self.anchors, self.num_classes,
+            self.config.strides)
+        return {"image": X, "labels": y_tensor, "boxes": y_true_boxes_xywh}
+
+    def __getitem__(self, index: int):
+        """Reference-shaped output: ([X, *label_grids, boxes], zeros)
+        (reference utils.py:149-161)."""
+        b = self.get_batch(index)
+        return [b["image"], *b["labels"], b["boxes"]], np.zeros(len(b["image"]))
+
+    def __iter__(self) -> Iterator[dict]:
+        for i in range(len(self)):
+            yield self.get_batch(i)
+        self.on_epoch_end()
+
+
+def prefetch(generator: DataGenerator, n_prefetch: int = 2,
+             epochs: Optional[int] = None) -> Iterator[dict]:
+    """Background-thread prefetching over epochs of a DataGenerator.
+
+    Overlaps cv2 decode/resize + label encoding with the device step; the
+    consumer always finds the next batch ready (up to n_prefetch deep).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=n_prefetch)
+    stop = threading.Event()
+
+    def producer():
+        epoch = 0
+        try:
+            while not stop.is_set() and (epochs is None or epoch < epochs):
+                for i in range(len(generator)):
+                    if stop.is_set():
+                        return
+                    q.put(generator.get_batch(i))
+                generator.on_epoch_end()
+                epoch += 1
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()
+        # Drain so the producer can observe the stop flag.
+        while not q.empty():
+            q.get_nowait()

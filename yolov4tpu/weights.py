@@ -108,14 +108,14 @@ def random_darknet_bytes(num_classes: int, seed: int = 0) -> bytes:
     """Build a synthetic, correctly-sized .weights byte stream (for tests)."""
     rng = np.random.default_rng(seed)
     out = io.BytesIO()
-    np.asarray([0, 2, 5, 0, 0], dtype=np.int32).tofile(out)
+    out.write(np.asarray([0, 2, 5, 0, 0], dtype=np.int32).tobytes())
     for spec in conv_specs(num_classes):
         if spec.batch_norm:
             n = 4 * spec.filters
         else:
             n = spec.filters
-        rng.standard_normal(n, dtype=np.float32).tofile(out)
+        out.write(rng.standard_normal(n, dtype=np.float32).tobytes())
         k = spec.kernel_size
-        rng.standard_normal(spec.filters * spec.in_ch * k * k,
-                            dtype=np.float32).tofile(out)
+        out.write(rng.standard_normal(spec.filters * spec.in_ch * k * k,
+                                      dtype=np.float32).tobytes())
     return out.getvalue()
