@@ -1,0 +1,82 @@
+"""Training-step throughput benchmark (single chip or sharded mesh).
+
+Usage: python benchmarks/bench_train.py [--img 416] [--classes 80]
+       [--batch 8] [--devices 1] [--dtype bfloat16]
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=416)
+    ap.add_argument("--classes", type=int, default=80)
+    ap.add_argument("--batch", type=int, default=8, help="per-device batch")
+    ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov4tpu.config import YoloConfig
+    from yolov4tpu.data.encode import preprocess_true_boxes
+    from yolov4tpu.models import network
+    from yolov4tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from yolov4tpu.train import make_optimizer, make_train_step
+    from yolov4tpu.utils.profiling import time_fn
+
+    cfg = YoloConfig(img_size=(args.img, args.img, 3), batch_size=args.batch,
+                     num_devices=args.devices, compute_dtype=args.dtype)
+    mesh = make_mesh(args.devices) if args.devices > 1 else None
+
+    params, state, _ = network.init(args.classes, img_size=args.img, seed=0)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(args.classes, cfg, opt, mesh=mesh, donate=False)
+
+    bs = args.batch * args.devices
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (bs, args.img, args.img, 3)).astype(np.float32)
+    boxes = np.zeros((bs, 100, 5), np.float32)
+    for i in range(bs):
+        n = rng.integers(1, 20)
+        x1 = rng.uniform(0, args.img * 0.8, n)
+        y1 = rng.uniform(0, args.img * 0.8, n)
+        boxes[i, :n] = np.stack(
+            [x1, y1, x1 + rng.uniform(4, args.img * 0.2, n),
+             y1 + rng.uniform(4, args.img * 0.2, n),
+             rng.integers(0, args.classes, n)], axis=-1)
+    labels, xywh = preprocess_true_boxes(boxes, (args.img, args.img),
+                                         cfg.anchors_flat, args.classes)
+    batch = {"image": jnp.asarray(images),
+             "labels": [jnp.asarray(l) for l in labels],
+             "boxes": jnp.asarray(xywh)}
+    if mesh is not None:
+        batch = shard_batch(batch, mesh)
+        params = replicate(params, mesh)
+        state = replicate(state, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    def one(params, state, opt_state, batch):
+        p, s, o, m = step(params, state, opt_state, batch)
+        return m["loss"]
+
+    stats = time_fn(one, params, state, opt_state, batch, iters=10)
+    out = {
+        "metric": "train_step_throughput",
+        "img_per_s": round(bs / stats["p50_s"], 2),
+        "p50_ms": round(stats["p50_s"] * 1e3, 2),
+        "global_batch": bs,
+        "devices": args.devices,
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Fine-tuning demo (mirror of the reference train notebook: BCCD-style flow).
+
+Usage:
+    python examples/train.py --anno anno.txt --classes classes.txt \
+        --imgdir imgs/ [--val-anno anno-val.txt] [--epochs 100] \
+        [--devices 8] [--bf16] [--mosaic] [--ckpt ckpts/]
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--anno", required=True)
+    ap.add_argument("--val-anno", default=None)
+    ap.add_argument("--classes", required=True)
+    ap.add_argument("--imgdir", required=True)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8, help="per-device batch")
+    ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--weights", default=None,
+                    help="init from darknet .weights / .npz (else random)")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--mosaic", action="store_true")
+    ap.add_argument("--smooth", type=float, default=0.0)
+    ap.add_argument("--ckpt", default=None, help="checkpoint dir")
+    args = ap.parse_args()
+
+    from yolov4tpu import Yolov4, YoloConfig
+    from yolov4tpu.callbacks import CheckpointCallback
+    from yolov4tpu.data.pipeline import DataGenerator
+    from yolov4tpu.utils.io import read_annotation_lines
+
+    cfg = YoloConfig(batch_size=args.batch, num_devices=args.devices,
+                     compute_dtype="bfloat16" if args.bf16 else "float32",
+                     use_mosaic=args.mosaic, label_smoothing=args.smooth)
+
+    train_lines = read_annotation_lines(args.anno)
+    val_lines = (read_annotation_lines(args.val_anno)
+                 if args.val_anno else None)
+    train_gen = DataGenerator(train_lines, args.classes, args.imgdir,
+                              config=cfg)
+    val_gen = (DataGenerator(val_lines, args.classes, args.imgdir, config=cfg,
+                             shuffle=False) if val_lines else None)
+
+    model = Yolov4(weight_path=args.weights, class_name_path=args.classes,
+                   config=cfg)
+    callbacks = []
+    if args.ckpt:
+        callbacks.append(CheckpointCallback(args.ckpt + "/epoch{epoch}.npz"))
+    model.fit(train_gen, epochs=args.epochs, val_data_gen=val_gen,
+              callbacks=callbacks)
+    model.save_model("final.npz")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,12 @@ Must run before jax is imported anywhere in the test process.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Golden-parity tests import the tf.keras reference implementation, which is
+# keras-2 era code: route tf.keras to the legacy tf_keras package, and turn
+# off oneDNN's reordered accumulation so TF-CPU vs XLA-CPU comparisons
+# measure semantics rather than summation order.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# In this environment a TPU PJRT plugin may claim the backend even when
+# JAX_PLATFORMS=cpu is exported (plugin discovery precedes env handling), and
+# jax 0.9 ignores --xla_force_host_platform_device_count.  The config API
+# wins in both cases; it must run before the first backend use.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the 110-conv graph is expensive to compile on
 # one CPU core; cache hits make repeat test runs fast.

@@ -130,3 +130,19 @@ def test_export_prediction_eval_map_integration(model, tmp_path, rng):
                          plot=False, verbose=False)
     assert "mAP" in res and 0.0 <= res["mAP"] <= 1.0
     assert os.path.exists(os.path.join(dirs["out"], "output.txt"))
+
+
+def test_distributed_inference_matches_single(model, rng):
+    """predict_batch over an 8-fake-device mesh == single-device results."""
+    import jax
+    assert jax.device_count() >= 8
+    imgs = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    single = [np.asarray(o) for o in model.predict_batch(imgs)]
+    try:
+        model.distribute(8)
+        sharded = [np.asarray(o) for o in model.predict_batch(imgs)]
+    finally:
+        model._mesh = None
+        model._refresh_inference()
+    for s, d in zip(single, sharded):
+        np.testing.assert_allclose(d, s, rtol=1e-4, atol=1e-5)

@@ -112,3 +112,40 @@ def test_read_txt_to_list(tmp_path):
     p = tmp_path / "t.txt"
     p.write_text("a b\n c d \n")
     assert read_txt_to_list(str(p)) == ["a b", "c d"]
+
+
+def test_native_path_matches_python_path(tmp_path, rng):
+    """The fused C++ batch assembly and the python/cv2 path agree.
+
+    Image sizes are powers of two so the stretch-rescale factor (0.5) is
+    exact in both float32 and float64 — keeping cell assignment comparable
+    across the two paths (a 64/120-style factor can floor into different
+    cells from f32 vs f64 rounding, which is not a correctness bug)."""
+    import cv2
+
+    from yolov4tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(4):
+        img = rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"p{i}.jpg"), img)
+        lines.append(f"p{i}.jpg 10,10,50,60,0 20,30,110,95,1\n")
+    classes = tmp_path / "c.txt"
+    classes.write_text("a\nb\n")
+    g_nat = DataGenerator(lines, str(classes), str(img_dir), config=CFG,
+                          shuffle=False, seed=7, use_native=True)
+    g_py = DataGenerator(lines, str(classes), str(img_dir), config=CFG,
+                         shuffle=False, seed=7, use_native=False)
+    assert g_nat.use_native and not g_py.use_native
+    bn, bp = g_nat.get_batch(0), g_py.get_batch(0)
+    # images: native bilinear vs cv2 fixed-point bilinear
+    assert np.abs(bn["image"] - bp["image"]).max() < 2.5 / 255.0
+    # boxes: float rescale ordering differs -> tiny tolerance
+    np.testing.assert_allclose(bn["boxes"], bp["boxes"], atol=1e-3)
+    for ln, lp in zip(bn["labels"], bp["labels"]):
+        # conf/class planes must agree exactly (same cells chosen)
+        np.testing.assert_array_equal(ln[..., 4:], lp[..., 4:])
+        np.testing.assert_allclose(ln[..., :4], lp[..., :4], atol=1e-3)

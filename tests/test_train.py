@@ -132,3 +132,28 @@ def test_trainer_fit_smoke(tmp_path, rng, setup):
     history = trainer.fit(gen, epochs=2, initial_epoch=1, val_gen=gen,
                           verbose=False)
     assert "val_loss" in history[-1]
+
+
+def test_trainer_checkpoint_resume(tmp_path, setup):
+    """save_checkpoint/restore_checkpoint round-trips params, BN state and
+    optimizer state; fit(resume_dir=...) auto-resumes at the next epoch."""
+    params, state, batch = setup
+    t1 = Trainer(CFG, C, params, state)
+    t1.train_step(batch)
+    t1.train_step(batch)
+    p = str(tmp_path / "ck.npz")
+    t1.save_checkpoint(p, epoch=4)
+
+    t2 = Trainer(CFG, C, params, state)
+    next_epoch = t2.restore_checkpoint(p)
+    assert next_epoch == 5
+    assert t2.global_step == 2
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(t1.opt_state),
+                    jax.tree.leaves(t2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # continued steps from both produce identical params
+    m1 = t1.train_step(batch)
+    m2 = t2.train_step(batch)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)

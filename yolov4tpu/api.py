@@ -57,6 +57,7 @@ class Yolov4:
                             for name in self.class_names}
         self._seed = seed
         self._trainer = None
+        self._mesh = None
         self.build_model(load_pretrained=bool(weight_path))
 
     # ------------------------------------------------------------------
@@ -71,6 +72,12 @@ class Yolov4:
                 print(f"load from {self.weight_path}")
             elif self.weight_path.endswith((".npz", ".h5ckpt", ".ckpt")):
                 self.params, self.state, _, _ = ckpt.load_npz(self.weight_path)
+                print(f"load from {self.weight_path}")
+            elif self.weight_path.endswith((".h5", ".hdf5")):
+                # Reference-era keras checkpoints (the branch that was dead
+                # code in the reference, models.py:75-81, made real).
+                self.params, self.state = weights.load_keras_h5(
+                    self.weight_path, self.num_classes)
                 print(f"load from {self.weight_path}")
             else:
                 raise ValueError(f"unsupported weight file: {self.weight_path}")
@@ -89,12 +96,20 @@ class Yolov4:
         cfg = self.config
         num_classes = self.num_classes
 
-        @jax.jit
+        jit_kw = {}
+        if self._mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated
+            repl, data = replicated(self._mesh), batch_sharding(self._mesh)
+            jit_kw = {"in_shardings": (repl, data)}
+            self._folded = jax.device_put(self._folded, repl)
+
+        @functools.partial(jax.jit, **jit_kw)
         def raw_fn(folded, images):
             return network.apply_folded(folded, images, num_classes,
                                         self._compute_dtype)
 
-        @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"))
+        @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
+                           **jit_kw)
         def infer_fn(folded, images, iou_t, score_t):
             raws = network.apply_folded(folded, images, num_classes,
                                         self._compute_dtype)
@@ -102,6 +117,13 @@ class Yolov4:
                                     self.strides, self.xyscale)
             boxes, scores = head.flatten_boxes_scores(
                 outs, self.img_size[0], num_classes)
+            if cfg.use_pallas_nms:
+                from .ops.nms_pallas import combined_nms_pallas
+                return combined_nms_pallas(
+                    boxes, scores, iou_threshold=iou_t,
+                    score_threshold=score_t, max_per_class=cfg.max_boxes,
+                    max_total=cfg.max_boxes, pre_top_k=cfg.nms_pre_top_k,
+                    interpret=jax.default_backend() != "tpu")
             return combined_nms(
                 boxes, scores, iou_threshold=iou_t, score_threshold=score_t,
                 max_per_class=cfg.max_boxes, max_total=cfg.max_boxes,
@@ -109,6 +131,20 @@ class Yolov4:
 
         self._raw_fn = raw_fn
         self._infer_fn = infer_fn
+
+    def distribute(self, num_devices: Optional[int] = None):
+        """Shard batched inference across a data-parallel device mesh.
+
+        The reference's only parallelism was a MirroredStrategy scope around
+        training (models.py:41-44); here inference scales too: images are
+        sharded on the mesh ``data`` axis, folded params replicated, and the
+        whole forward+decode+NMS program runs SPMD.  Batch size must be a
+        multiple of the device count.
+        """
+        from .parallel.mesh import make_mesh
+        self._mesh = make_mesh(num_devices or self.config.num_devices)
+        self._refresh_inference()
+        return self
 
     def sync_from_trainer(self):
         """Pull trained params/state back into the inference path."""
@@ -218,12 +254,17 @@ class Yolov4:
         return self._trainer
 
     def fit(self, train_data_gen, epochs: int, val_data_gen=None,
-            initial_epoch: int = 0, callbacks=None, verbose: bool = True):
-        """Train (reference models.py:100-107 — without its val=None crash)."""
+            initial_epoch: int = 0, callbacks=None, verbose: bool = True,
+            resume_dir: Optional[str] = None):
+        """Train (reference models.py:100-107 — without its val=None crash).
+
+        ``resume_dir``: per-epoch full checkpoints + automatic crash resume.
+        """
         trainer = self.trainer()
         history = trainer.fit(train_data_gen, epochs, val_gen=val_data_gen,
                               initial_epoch=initial_epoch,
-                              callbacks=callbacks, verbose=verbose)
+                              callbacks=callbacks, verbose=verbose,
+                              resume_dir=resume_dir)
         self.sync_from_trainer()
         return history
 

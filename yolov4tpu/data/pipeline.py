@@ -92,7 +92,7 @@ class DataGenerator:
     def __init__(self, annotation_lines: Sequence[str], class_name_path: str,
                  folder_path: str, max_boxes: int = 100, shuffle: bool = True,
                  config: YoloConfig = DEFAULT_CONFIG, mosaic: bool = False,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, use_native: bool = True):
         self.annotation_lines = list(annotation_lines)
         self.num_classes = len([l.strip() for l in open(class_name_path)])
         self.config = config
@@ -105,6 +105,11 @@ class DataGenerator:
         self.mosaic = mosaic or config.use_mosaic
         self.rng = np.random.default_rng(seed)
         self.indexes = np.arange(len(self.annotation_lines))
+        if use_native:
+            from .. import native
+            self.use_native = native.available()
+        else:
+            self.use_native = False
         self.on_epoch_end()
 
     def __len__(self) -> int:
@@ -138,9 +143,40 @@ class DataGenerator:
         return img, box_data
 
     # -- batching ----------------------------------------------------------
+    def _get_batch_native(self, lines: Sequence[str]) -> dict:
+        """Fused native path: raw decode -> C++ resize/rescale/encode
+        (one GIL release per batch; OpenMP across images on the host)."""
+        import cv2
+
+        from .. import native
+
+        n = len(lines)
+        raws, y_bbox = [], np.zeros((n, self.max_boxes, 5), np.float32)
+        for i, line in enumerate(lines):
+            parts = line.split()
+            img = cv2.imread(os.path.join(self.folder_path, parts[0]))
+            if img is None:
+                raise FileNotFoundError(parts[0])
+            raws.append(np.ascontiguousarray(img[:, :, ::-1]))
+            boxes = np.array([[float(v) for v in b.split(",")]
+                              for b in parts[1:]],
+                             np.float32).reshape(-1, 5)
+            if len(boxes):
+                perm = self.rng.permutation(len(boxes))
+                boxes = boxes[perm][:self.max_boxes]
+                y_bbox[i, :len(boxes)] = boxes
+        X, y_bbox = native.assemble_batch(raws, y_bbox,
+                                          self.target_img_size[:2])
+        y_tensor, y_true_boxes_xywh = native.encode_labels_batch(
+            y_bbox, self.target_img_size[:2], self.anchors, self.num_classes,
+            self.config.strides)
+        return {"image": X, "labels": y_tensor, "boxes": y_true_boxes_xywh}
+
     def get_batch(self, index: int) -> dict:
         idxs = self.indexes[index * self.batch_size:(index + 1) * self.batch_size]
         lines = [self.annotation_lines[i] for i in idxs]
+        if self.use_native and not self.mosaic:
+            return self._get_batch_native(lines)
         n = len(lines)
         X = np.empty((n, *self.target_img_size), np.float32)
         y_bbox = np.empty((n, self.max_boxes, 5), np.float32)

@@ -147,7 +147,8 @@ def nms(head_outputs, img_size, num_classes: int, iou_threshold: float = 0.413,
         return combined_nms_pallas(
             boxes, scores, iou_threshold=iou_threshold,
             score_threshold=score_threshold, max_total=max_total,
-            pre_top_k=pre_top_k)
+            pre_top_k=pre_top_k,
+            interpret=jax.default_backend() != "tpu")
     return combined_nms(boxes, scores, iou_threshold=iou_threshold,
                         score_threshold=score_threshold,
                         max_per_class=max_total, max_total=max_total,

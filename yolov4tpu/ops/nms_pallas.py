@@ -1,0 +1,168 @@
+"""Pallas TPU kernel for the combined-NMS suppression stage.
+
+The reference's postprocess bottleneck is TF's C++ ``combined_non_max_suppression``
+kernel (reference custom_layers.py:290-297).  The XLA port (``ops/nms.py``)
+is exact but runs the sequential greedy loop through HBM-resident vmapped
+ops; this module fuses that loop into one Pallas kernel that keeps every
+candidate box and the alive-mask in VMEM for all K iterations.
+
+Layout choice (TPU vector unit is 8x128 lanes): candidate boxes are stored as
+four coordinate *planes* of shape (C, K) — x1/y1/x2/y2 — rather than
+(C, K, 4), so every per-iteration op is a well-tiled (C, K) VPU op and the
+class dimension rides the sublanes.  K (pre_top_k) should be a multiple of
+128; C is padded to the sublane multiple by the compiler.
+
+Pipeline split:
+  XLA:    per-class top-k (sorting is already optimal in XLA) ->
+  Pallas: greedy suppression loop, one grid step per image, VMEM-resident ->
+  XLA:    per-class cap + global top-``max_total`` merge.
+
+VMEM budget per grid step: (4 coords + scores-in + keep-out + alive scratch)
+* C*K floats; for C=80, K=256 that is ~0.5 MB — far under the ~16 MB core
+budget, leaving the double-buffer pipeline room to prefetch the next image.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _suppress_kernel(coords_ref, valid_ref, keep_ref, *, iou_threshold: float):
+    """One image: greedy NMS over score-descending candidates, all classes.
+
+    coords_ref: (1, 4, C, K) candidate corner planes (x1, y1, x2, y2),
+        already normalised so x1<=x2, y1<=y2, sorted by descending score
+        along K.
+    valid_ref:  (1, C, K) float32 — 1.0 where score > score_threshold.
+    keep_ref:   (1, C, K) float32 out — 1.0 where the candidate survives.
+    """
+    x1 = coords_ref[0, 0]
+    y1 = coords_ref[0, 1]
+    x2 = coords_ref[0, 2]
+    y2 = coords_ref[0, 3]
+    area = (x2 - x1) * (y2 - y1)  # (C, K)
+    k = x1.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, x1.shape, dimension=1)
+
+    def body(i, alive):
+        # Pivot column i for every class: (C, 1) slices stay in VMEM.
+        px1 = lax.dynamic_slice_in_dim(x1, i, 1, axis=1)
+        py1 = lax.dynamic_slice_in_dim(y1, i, 1, axis=1)
+        px2 = lax.dynamic_slice_in_dim(x2, i, 1, axis=1)
+        py2 = lax.dynamic_slice_in_dim(y2, i, 1, axis=1)
+        parea = lax.dynamic_slice_in_dim(area, i, 1, axis=1)
+        palive = lax.dynamic_slice_in_dim(alive, i, 1, axis=1)
+
+        iw = jnp.maximum(jnp.minimum(px2, x2) - jnp.maximum(px1, x1), 0.0)
+        ih = jnp.maximum(jnp.minimum(py2, y2) - jnp.maximum(py1, y1), 0.0)
+        inter = iw * ih
+        union = parea + area - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)  # (C, K)
+
+        suppress = ((iou > iou_threshold) & (col > i)
+                    & (palive > 0.5))  # (C, K), pivot alive broadcast
+        return jnp.where(suppress, 0.0, alive)
+
+    keep_ref[0] = lax.fori_loop(0, k, body, valid_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def _suppress_batch(coords: jnp.ndarray, valid: jnp.ndarray,
+                    iou_threshold: float, interpret: bool) -> jnp.ndarray:
+    """coords (B, 4, C, K), valid (B, C, K) -> keep (B, C, K)."""
+    b, _, c, k = coords.shape
+    kernel = functools.partial(_suppress_kernel, iou_threshold=iou_threshold)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 4, c, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, k), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * k * c * k * 12), bytes_accessed=int(b * c * k * 4 * 6),
+            transcendentals=0),
+    )(coords, valid)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "iou_threshold", "score_threshold", "max_per_class", "max_total",
+    "pre_top_k", "clip", "interpret"))
+def combined_nms_pallas(
+    boxes: jnp.ndarray, scores: jnp.ndarray,
+    iou_threshold: float = 0.413, score_threshold: float = 0.3,
+    max_per_class: int = 100, max_total: int = 100, pre_top_k: int = 256,
+    clip: bool = True, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched combined NMS with the Pallas suppression kernel.
+
+    Same contract as ``ops.nms.combined_nms``: boxes (B, N, 4) corner format,
+    scores (B, N, C) -> (nmsed_boxes (B,T,4), nmsed_scores (B,T),
+    nmsed_classes (B,T), valid_detections (B,)), T = max_total.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests);
+    on TPU leave it False.
+    """
+    bsz, n, num_classes = scores.shape
+    k = min(pre_top_k, n)
+
+    # --- XLA stage 1: per-class top-k candidate selection -----------------
+    # scores: (B, N, C) -> (B, C, N) -> top-k along N.
+    scores_cn = jnp.swapaxes(scores, 1, 2)
+    top_scores, top_idx = lax.top_k(scores_cn, k)  # (B, C, K)
+    top_boxes = jnp.take_along_axis(boxes[:, None, :, :],
+                                    top_idx[..., None], axis=2)  # (B, C, K, 4)
+
+    # Canonicalise corner order (degenerate-box behaviour parity with the
+    # XLA path and TF).
+    lo = jnp.minimum(top_boxes[..., :2], top_boxes[..., 2:])
+    hi = jnp.maximum(top_boxes[..., :2], top_boxes[..., 2:])
+    # Coordinate planes: (B, 4, C, K).
+    coords = jnp.stack([lo[..., 0], lo[..., 1], hi[..., 0], hi[..., 1]],
+                       axis=1)
+    valid = (top_scores > score_threshold).astype(jnp.float32)
+
+    # --- Pallas stage 2: greedy suppression in VMEM -----------------------
+    keep = _suppress_batch(coords, valid, iou_threshold, interpret)  # (B,C,K)
+    keep_b = keep > 0.5
+    rank = jnp.cumsum(keep_b.astype(jnp.int32), axis=-1)
+    keep_b = keep_b & (rank <= max_per_class)
+
+    # --- XLA stage 3: global top-max_total merge --------------------------
+    flat_scores = jnp.where(keep_b, top_scores, -1.0).reshape(bsz, -1)
+    flat_boxes = top_boxes.reshape(bsz, -1, 4)
+    classes = jnp.broadcast_to(
+        jnp.arange(num_classes, dtype=jnp.float32)[None, :, None],
+        (bsz, num_classes, k)).reshape(bsz, -1)
+
+    t = min(max_total, flat_scores.shape[1])
+    sel_scores, sel_idx = lax.top_k(flat_scores, t)  # (B, T)
+    sel_boxes = jnp.take_along_axis(flat_boxes, sel_idx[..., None], axis=1)
+    sel_classes = jnp.take_along_axis(classes, sel_idx, axis=1)
+    valid_out = sel_scores > 0.0
+    n_valid = jnp.sum(valid_out.astype(jnp.int32), axis=-1)
+
+    sel_scores = jnp.where(valid_out, sel_scores, 0.0)
+    sel_classes = jnp.where(valid_out, sel_classes, 0.0)
+    sel_boxes = jnp.where(valid_out[..., None], sel_boxes, 0.0)
+    if clip:
+        sel_boxes = jnp.clip(sel_boxes, 0.0, 1.0)
+    if t < max_total:
+        pad = max_total - t
+        sel_scores = jnp.pad(sel_scores, ((0, 0), (0, pad)))
+        sel_classes = jnp.pad(sel_classes, ((0, 0), (0, pad)))
+        sel_boxes = jnp.pad(sel_boxes, ((0, 0), (0, pad), (0, 0)))
+    return sel_boxes, sel_scores, sel_classes, n_valid

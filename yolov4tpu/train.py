@@ -154,12 +154,56 @@ class Trainer:
     def eval_step(self, batch):
         return self._eval(self.params, self.state, self._place(batch))
 
+    # -- checkpoint / resume (SURVEY §5: the reference had none) ----------
+    def save_checkpoint(self, path: str, epoch: int = -1):
+        """Full training checkpoint: params + BN state + optimizer state."""
+        import numpy as np
+
+        from . import checkpoint as ckpt
+        opt_leaves = [np.asarray(x) for x in jax.tree.leaves(self.opt_state)]
+        ckpt.save_npz(path, jax.tree.map(np.asarray, self.params),
+                      {"model": jax.tree.map(np.asarray, self.state),
+                       "opt_leaves": opt_leaves},
+                      step=self.global_step, extra={"epoch": epoch})
+
+    def restore_checkpoint(self, path: str) -> int:
+        """Restore a full training checkpoint; returns the next epoch."""
+        from . import checkpoint as ckpt
+        params, wrapped, step, extra = ckpt.load_npz(path)
+        self.params = params
+        self.state = wrapped["model"]
+        treedef = jax.tree.structure(self.optimizer.init(params))
+        self.opt_state = jax.tree.unflatten(treedef, wrapped["opt_leaves"])
+        if self.mesh is not None:
+            self.params = replicate(self.params, self.mesh)
+            self.state = replicate(self.state, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+        self.global_step = step
+        return int(extra.get("epoch", -1)) + 1
+
     def fit(self, train_gen, epochs: int, val_gen=None, initial_epoch: int = 0,
             callbacks: Optional[Iterable[Callable]] = None,
-            log_every: int = 50, verbose: bool = True):
+            log_every: int = 50, verbose: bool = True,
+            resume_dir: Optional[str] = None):
         """Epoch loop with prefetching (reference fit, models.py:100-107 —
-        minus its crash when val_gen is None)."""
+        minus its crash when val_gen is None).
+
+        With ``resume_dir`` set, a full checkpoint (params+BN+optimizer) is
+        written there every epoch and training auto-resumes from it after a
+        crash/restart — the failure-recovery story the reference lacked.
+        """
+        import os
+
         from .data.pipeline import prefetch
+
+        latest = (os.path.join(resume_dir, "latest.npz")
+                  if resume_dir else None)
+        if latest and os.path.exists(latest):
+            initial_epoch = max(initial_epoch, self.restore_checkpoint(latest))
+            if verbose:
+                print(f"resumed from {latest} at epoch {initial_epoch}")
+        elif resume_dir:
+            os.makedirs(resume_dir, exist_ok=True)
 
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
@@ -185,4 +229,6 @@ class Trainer:
                        for k, v in entry.items()})
             for cb in (callbacks or []):
                 cb(self, entry)
+            if latest:
+                self.save_checkpoint(latest, epoch=epoch)
         return self.history

@@ -104,18 +104,78 @@ def save_darknet_weights(params: dict, state: dict, path,
             w.transpose(3, 2, 0, 1).astype(np.float32).tofile(f)
 
 
+def load_keras_h5(path: str, num_classes: int) -> Tuple[dict, dict]:
+    """Migration reader for reference-era keras ``.h5`` weight files.
+
+    The reference intended to restore ``.h5`` checkpoints but its load branch
+    was dead code (reference models.py:75-81); users still have such files.
+    Reads legacy keras HDF5 weight layouts (both ``save_weights`` files and
+    full-model saves with a ``model_weights`` group) by the same auto-name
+    scheme the reference's loader used (``conv2d``/``conv2d_{i}`` with a
+    separate ``batch_normalization_{j}`` counter, reference utils.py:19-24).
+    """
+    import h5py
+
+    def names(group):
+        return [n.decode() if isinstance(n, bytes) else n
+                for n in group.attrs["weight_names"]]
+
+    def arrays(group):
+        return {n.rsplit("/", 1)[-1].split(":")[0]: np.asarray(group[n])
+                for n in names(group)}
+
+    with h5py.File(path, "r") as f:
+        g = f["model_weights"] if "model_weights" in f else f
+        convs, bn_state = [], []
+        bn_idx = 0
+        for i, spec in enumerate(conv_specs(num_classes)):
+            cname = f"conv2d_{i}" if i > 0 else "conv2d"
+            carr = arrays(g[cname])
+            p = {"w": carr["kernel"].astype(np.float32)}
+            if spec.batch_norm:
+                bname = (f"batch_normalization_{bn_idx}" if bn_idx > 0
+                         else "batch_normalization")
+                barr = arrays(g[bname])
+                p["gamma"] = barr["gamma"].astype(np.float32)
+                p["beta"] = barr["beta"].astype(np.float32)
+                bn_state.append({
+                    "mean": barr["moving_mean"].astype(np.float32),
+                    "var": barr["moving_variance"].astype(np.float32)})
+                bn_idx += 1
+            else:
+                p["b"] = carr["bias"].astype(np.float32)
+                bn_state.append(None)
+            if p["w"].shape != (spec.kernel_size, spec.kernel_size,
+                                spec.in_ch, spec.filters):
+                raise ValueError(
+                    f"{cname}: kernel shape {p['w'].shape} does not match "
+                    f"spec {spec} (wrong num_classes?)")
+            convs.append(p)
+    return {"convs": convs}, {"bn": bn_state}
+
+
 def random_darknet_bytes(num_classes: int, seed: int = 0) -> bytes:
-    """Build a synthetic, correctly-sized .weights byte stream (for tests)."""
+    """Build a synthetic, correctly-sized .weights byte stream (for tests).
+
+    Values are well-conditioned (positive BN variance, ~unit-gain kernels) so
+    a network loaded from them computes finite, comparable activations.
+    """
     rng = np.random.default_rng(seed)
     out = io.BytesIO()
     out.write(np.asarray([0, 2, 5, 0, 0], dtype=np.int32).tobytes())
     for spec in conv_specs(num_classes):
+        f = spec.filters
         if spec.batch_norm:
-            n = 4 * spec.filters
+            beta = rng.normal(0.0, 0.1, f)
+            gamma = rng.uniform(0.8, 1.2, f)
+            mean = rng.normal(0.0, 0.1, f)
+            var = rng.uniform(0.5, 1.5, f)
+            out.write(np.concatenate([beta, gamma, mean, var])
+                      .astype(np.float32).tobytes())
         else:
-            n = spec.filters
-        out.write(rng.standard_normal(n, dtype=np.float32).tobytes())
+            out.write(rng.normal(0.0, 0.1, f).astype(np.float32).tobytes())
         k = spec.kernel_size
-        out.write(rng.standard_normal(spec.filters * spec.in_ch * k * k,
-                                      dtype=np.float32).tobytes())
+        fan_in = k * k * spec.in_ch
+        w = rng.normal(0.0, 1.0 / np.sqrt(fan_in), f * spec.in_ch * k * k)
+        out.write(w.astype(np.float32).tobytes())
     return out.getvalue()
