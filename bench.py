@@ -22,7 +22,7 @@ def main():
 
     from yolov4tpu.config import YoloConfig
     from yolov4tpu.models import head, network
-    from yolov4tpu.ops.nms import combined_nms
+    from yolov4tpu.ops.nms_pallas import combined_nms_fast
 
     num_classes = 80
     cfg = YoloConfig(compute_dtype="bfloat16")
@@ -40,27 +40,35 @@ def main():
         outs = head.decode_head(raws, anchors, num_classes, cfg.strides,
                                 cfg.xyscale)
         boxes, scores = head.flatten_boxes_scores(outs, 416, num_classes)
-        return combined_nms(boxes, scores, iou_threshold=cfg.iou_threshold,
-                            score_threshold=cfg.score_threshold,
-                            pre_top_k=cfg.nms_pre_top_k)
+        return combined_nms_fast(
+            boxes, scores, iou_threshold=cfg.iou_threshold,
+            score_threshold=cfg.score_threshold,
+            candidates=cfg.nms_pre_top_k,
+            interpret=jax.default_backend() != "tpu")
+
+    def sync(out):
+        # On tunneled platforms (axon) block_until_ready can return before
+        # execution finishes; a host fetch of a tiny output is a hard sync —
+        # device execution is in-order, so fetching the LAST dispatch's
+        # valid_detections drains every prior one too.
+        np.asarray(out[3])
 
     def measure(batch):
         images = jnp.asarray(
             np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 3))
             .astype(np.float32))
-        # warmup/compile
-        out = infer(folded, images)
-        jax.block_until_ready(out)
-        iters = max(3, int(2000 / batch))
+        # warmup/compile (synced)
+        sync(infer(folded, images))
+        iters = max(5, int(4000 / batch))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = infer(folded, images)
-        jax.block_until_ready(out)
+        sync(out)
         dt = time.perf_counter() - t0
         return batch * iters / dt
 
     best_bs, best = None, 0.0
-    for batch in (8, 16, 32, 64):
+    for batch in (32, 64, 128, 256):
         try:
             ips = measure(batch)
         except Exception:

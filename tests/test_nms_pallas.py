@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from yolov4tpu.ops.nms import combined_nms
-from yolov4tpu.ops.nms_pallas import combined_nms_pallas
+from yolov4tpu.ops.nms_pallas import combined_nms_fast, combined_nms_pallas
 
 
 def _make_boxes(rng, n, c):
@@ -62,6 +62,43 @@ def test_pallas_batched_and_caps(rng):
     np.testing.assert_allclose(np.asarray(ps), np.asarray(xs), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(pb), np.asarray(xb), rtol=1e-6,
                                atol=1e-7)
+
+
+def test_fast_matches_xla_on_sparse_scores(rng):
+    """combined_nms_fast is exact whenever at most ``candidates`` boxes clear
+    the score threshold on their best class — the regime of a real detector
+    at the reference operating point (score 0.3, config.py:15)."""
+    n, c = 400, 8
+    boxes, _ = _make_boxes(rng, n, c)
+    # Sparse scores: background below threshold, ~30 strong detections.
+    scores = rng.uniform(0, 0.25, (n, c)).astype(np.float32)
+    hot = rng.choice(n, 30, replace=False)
+    scores[hot, rng.integers(0, c, 30)] = rng.uniform(0.35, 1.0, 30)
+    b = jnp.asarray(boxes)[None]
+    s = jnp.asarray(scores)[None]
+    xb, xs, xc, xv = combined_nms(b, s, pre_top_k=64)
+    fb, fs, fc, fv = combined_nms_fast(b, s, candidates=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(xv))
+    v = int(xv[0])
+    np.testing.assert_allclose(np.asarray(fs)[0, :v], np.asarray(xs)[0, :v],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fc)[0, :v],
+                                  np.asarray(xc)[0, :v])
+    np.testing.assert_allclose(np.asarray(fb)[0, :v], np.asarray(xb)[0, :v],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fast_empty_and_batched(rng):
+    boxes1, _ = _make_boxes(rng, 64, 3)
+    boxes2, _ = _make_boxes(rng, 64, 3)
+    scores = np.full((2, 64, 3), 0.01, np.float32)
+    scores[1, 4, 2] = 0.9
+    fb, fs, fc, fv = combined_nms_fast(
+        jnp.asarray(np.stack([boxes1, boxes2])), jnp.asarray(scores),
+        candidates=32, interpret=True)
+    assert int(fv[0]) == 0 and int(fv[1]) == 1
+    assert float(fs[1, 0]) == pytest.approx(0.9)
+    assert int(fc[1, 0]) == 2
 
 
 def test_pallas_empty(rng):

@@ -117,13 +117,21 @@ class Yolov4:
                                     self.strides, self.xyscale)
             boxes, scores = head.flatten_boxes_scores(
                 outs, self.img_size[0], num_classes)
-            if cfg.use_pallas_nms:
+            interpret = jax.default_backend() != "tpu"
+            if cfg.nms_impl == "fast":
+                from .ops.nms_pallas import combined_nms_fast
+                return combined_nms_fast(
+                    boxes, scores, iou_threshold=iou_t,
+                    score_threshold=score_t, max_per_class=cfg.max_boxes,
+                    max_total=cfg.max_boxes, candidates=cfg.nms_pre_top_k,
+                    interpret=interpret)
+            if cfg.nms_impl == "pallas":
                 from .ops.nms_pallas import combined_nms_pallas
                 return combined_nms_pallas(
                     boxes, scores, iou_threshold=iou_t,
                     score_threshold=score_t, max_per_class=cfg.max_boxes,
                     max_total=cfg.max_boxes, pre_top_k=cfg.nms_pre_top_k,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=interpret)
             return combined_nms(
                 boxes, scores, iou_threshold=iou_t, score_threshold=score_t,
                 max_per_class=cfg.max_boxes, max_total=cfg.max_boxes,

@@ -51,7 +51,11 @@ class YoloConfig:
     # --- TPU-specific knobs (no reference equivalent) ---
     compute_dtype: str = "float32"  # "bfloat16" for fast inference/training
     nms_pre_top_k: int = 256  # per-class candidates considered by NMS
-    use_pallas_nms: bool = False  # route NMS through the Pallas kernel
+    # NMS implementation: "fast" = global candidate reduction + Pallas
+    # suppression kernel (production; exact at the reference operating point),
+    # "pallas" = per-class top-k + Pallas kernel (TF-semantics-exact),
+    # "xla" = pure-XLA reference implementation (runs anywhere, slowest).
+    nms_impl: str = "fast"
 
     def __post_init__(self):
         # Same invariants the reference asserts (models.py:23-24).

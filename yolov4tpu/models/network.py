@@ -171,10 +171,10 @@ class _ApplyOps:
         self.i += 1
 
         if downsampling:
-            # Darknet-compatible top/left zero pad then VALID stride-2
-            # (reference custom_layers.py:9-11).
-            x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
-            stride, padding = 2, "VALID"
+            # Darknet-compatible top/left zero pad + stride-2, expressed as
+            # the conv's own explicit padding (reference custom_layers.py:9-11
+            # does ZeroPadding2D then VALID; one fused op here).
+            stride, padding = 2, ((1, 0), (1, 0))
         else:
             stride, padding = 1, "SAME"
 
@@ -281,8 +281,7 @@ class _FoldedApplyOps(_ApplyOps):
         p = self.convs[self.i]
         self.i += 1
         if downsampling:
-            x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
-            stride, padding = 2, "VALID"
+            stride, padding = 2, ((1, 0), (1, 0))
         else:
             stride, padding = 1, "SAME"
         y = _conv2d(x.astype(self.dtype), p["w"].astype(self.dtype),
