@@ -17,8 +17,21 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: repeat bench runs skip the ~1-2 min XLA
+    # compiles per batch size.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_bench_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from yolov4tpu.config import YoloConfig
     from yolov4tpu.models import head, network
@@ -68,7 +81,7 @@ def main():
         return batch * iters / dt
 
     best_bs, best = None, 0.0
-    for batch in (32, 64, 128, 256):
+    for batch in (64, 128):
         try:
             ips = measure(batch)
         except Exception:

@@ -18,6 +18,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE: XLA:CPU's 40 s collective-rendezvous kill timer (fatal on 1-core
+# hosts where 8 virtual replicas run staggered) is stretched per-jit via
+# compiler_options in train._cpu_collective_options — the flag spelling is
+# rejected by this jaxlib's XLA_FLAGS parser, so it cannot be set here.
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

@@ -66,6 +66,11 @@ class Yolov4:
     def build_model(self, load_pretrained: bool = True):
         """Initialise (or load) params and compile the inference program."""
         if load_pretrained and self.weight_path:
+            if tuple(self.config.csp_repeats) != (1, 2, 8, 8, 4):
+                raise ValueError(
+                    "pretrained weights require the full CSPDarknet53 depth "
+                    "(csp_repeats=(1,2,8,8,4)); shallow variants train from "
+                    "scratch")
             if self.weight_path.endswith(".weights"):
                 self.params, self.state = weights.load_darknet_weights(
                     self.weight_path, self.num_classes)
@@ -83,7 +88,8 @@ class Yolov4:
                 raise ValueError(f"unsupported weight file: {self.weight_path}")
         else:
             self.params, self.state, _ = network.init(
-                self.num_classes, self.img_size[0], seed=self._seed)
+                self.num_classes, self.img_size[0], seed=self._seed,
+                csp_repeats=self.config.csp_repeats)
         self._refresh_inference()
 
     def _refresh_inference(self):
@@ -106,13 +112,15 @@ class Yolov4:
         @functools.partial(jax.jit, **jit_kw)
         def raw_fn(folded, images):
             return network.apply_folded(folded, images, num_classes,
-                                        self._compute_dtype)
+                                        self._compute_dtype,
+                                        csp_repeats=cfg.csp_repeats)
 
         @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
                            **jit_kw)
         def infer_fn(folded, images, iou_t, score_t):
             raws = network.apply_folded(folded, images, num_classes,
-                                        self._compute_dtype)
+                                        self._compute_dtype,
+                                        csp_repeats=cfg.csp_repeats)
             outs = head.decode_head(raws, self.anchors, num_classes,
                                     self.strides, self.xyscale)
             boxes, scores = head.flatten_boxes_scores(

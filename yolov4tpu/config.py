@@ -49,6 +49,11 @@ class YoloConfig:
     score_threshold: float = 0.3
 
     # --- TPU-specific knobs (no reference equivalent) ---
+    # Residual depth of the five CSP stages; (1,2,8,8,4) is the reference
+    # CSPDarknet53 (custom_layers.py:108-128).  Smaller values give shallow
+    # YOLOv4-style variants (same routes/strides/anchors) — fast dry runs,
+    # light deployments.  Darknet .weights import requires the full depth.
+    csp_repeats: Tuple[int, ...] = (1, 2, 8, 8, 4)
     compute_dtype: str = "float32"  # "bfloat16" for fast inference/training
     nms_pre_top_k: int = 256  # per-class candidates considered by NMS
     # NMS implementation: "fast" = global candidate reduction + Pallas

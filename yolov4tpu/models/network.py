@@ -119,22 +119,24 @@ class _InitOps:
         return a
 
 
-def init(num_classes: int, img_size: int = 416,
-         seed: int = 0) -> Tuple[Params, State, List[ConvSpec]]:
+def init(num_classes: int, img_size: int = 416, seed: int = 0,
+         csp_repeats=topology.DEFAULT_CSP_REPEATS,
+         ) -> Tuple[Params, State, List[ConvSpec]]:
     """Create (params, state, conv_specs) for the full YOLOv4 network."""
     ops = _InitOps(np.random.default_rng(seed))
     x = _ShapeVal(img_size, img_size, 3)
-    topology.yolov4(ops, x, num_classes)
+    topology.yolov4(ops, x, num_classes, csp_repeats)
     params = {"convs": ops.params}
     state = {"bn": ops.state}
     return params, state, ops.specs
 
 
 @functools.lru_cache(maxsize=8)
-def conv_specs(num_classes: int) -> Tuple[ConvSpec, ...]:
+def conv_specs(num_classes: int,
+               csp_repeats=topology.DEFAULT_CSP_REPEATS) -> Tuple[ConvSpec, ...]:
     """Conv-layer inventory in darknet serial order (shape trace only)."""
     ops = _InitOps(np.random.default_rng(0))
-    topology.yolov4(ops, _ShapeVal(416, 416, 3), num_classes)
+    topology.yolov4(ops, _ShapeVal(416, 416, 3), num_classes, csp_repeats)
     return tuple(ops.specs)
 
 
@@ -229,14 +231,15 @@ class _ApplyOps:
 
 
 def apply(params: Params, state: State, images, num_classes: int,
-          train: bool = False, compute_dtype=jnp.float32):
+          train: bool = False, compute_dtype=jnp.float32,
+          csp_repeats=topology.DEFAULT_CSP_REPEATS):
     """Forward pass: images (B,H,W,3) -> ([sbbox, mbbox, lbbox], new_state).
 
     Raw un-activated head outputs, shapes (B, H/8, W/8, 3*(C+5)) etc.
     When train=True, new_state carries updated BN moving statistics.
     """
     ops = _ApplyOps(params, state, train, compute_dtype)
-    outs = topology.yolov4(ops, images, num_classes)
+    outs = topology.yolov4(ops, images, num_classes, csp_repeats)
     outs = [o.astype(jnp.float32) for o in outs]
     new_state = {"bn": ops.new_bn} if train else state
     return outs, new_state
@@ -295,8 +298,9 @@ class _FoldedApplyOps(_ApplyOps):
 
 
 def apply_folded(folded_params: Params, images, num_classes: int,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 csp_repeats=topology.DEFAULT_CSP_REPEATS):
     """Inference forward over BN-folded params: images -> [sbbox, mbbox, lbbox]."""
     ops = _FoldedApplyOps(folded_params, compute_dtype)
-    outs = topology.yolov4(ops, images, num_classes)
+    outs = topology.yolov4(ops, images, num_classes, csp_repeats)
     return [o.astype(jnp.float32) for o in outs]

@@ -39,34 +39,44 @@ def csp_block(ops, x, residual_out: int, repeat: int,
     return ops.concat([x, route])
 
 
-def cspdarknet53(ops, x):
+DEFAULT_CSP_REPEATS = (1, 2, 8, 8, 4)  # reference custom_layers.py:108-128
+
+
+def cspdarknet53(ops, x, csp_repeats=DEFAULT_CSP_REPEATS):
     """CSPDarknet53 backbone with SPP (reference custom_layers.py:100-138).
 
     Returns (route0, route1, route2): taps at strides 8/16/32 with
     256/512/512 channels for a 416 input -> 52x52/26x26/13x13 grids.
+
+    ``csp_repeats`` scales the residual depth of the five CSP stages
+    (reference depth (1, 2, 8, 8, 4)); smaller values give shallow
+    YOLOv4-style variants with identical routing/strides — used for fast
+    multi-chip dry runs and available as a light model family.
     """
+    r = csp_repeats
     x = ops.conv(x, 32, 3)
     x = ops.conv(x, 64, 3, downsampling=True)
 
-    x = csp_block(ops, x, residual_out=64, repeat=1, residual_bottleneck=True)
+    x = csp_block(ops, x, residual_out=64, repeat=r[0],
+                  residual_bottleneck=True)
     x = ops.conv(x, 64, 1, activation="mish")
     x = ops.conv(x, 128, 3, activation="mish", downsampling=True)
 
-    x = csp_block(ops, x, residual_out=64, repeat=2)
+    x = csp_block(ops, x, residual_out=64, repeat=r[1])
     x = ops.conv(x, 128, 1, activation="mish")
     x = ops.conv(x, 256, 3, activation="mish", downsampling=True)
 
-    x = csp_block(ops, x, residual_out=128, repeat=8)
+    x = csp_block(ops, x, residual_out=128, repeat=r[2])
     x = ops.conv(x, 256, 1, activation="mish")
     route0 = x
     x = ops.conv(x, 512, 3, activation="mish", downsampling=True)
 
-    x = csp_block(ops, x, residual_out=256, repeat=8)
+    x = csp_block(ops, x, residual_out=256, repeat=r[3])
     x = ops.conv(x, 512, 1, activation="mish")
     route1 = x
     x = ops.conv(x, 1024, 3, activation="mish", downsampling=True)
 
-    x = csp_block(ops, x, residual_out=512, repeat=4)
+    x = csp_block(ops, x, residual_out=512, repeat=r[4])
 
     x = ops.conv(x, 1024, 1, activation="mish")
 
@@ -156,9 +166,9 @@ def yolov4_neck(ops, routes, num_classes: int):
     return [conv_sbbox, conv_mbbox, conv_lbbox]
 
 
-def yolov4(ops, x, num_classes: int):
+def yolov4(ops, x, num_classes: int, csp_repeats=DEFAULT_CSP_REPEATS):
     """Full raw-grid forward: image -> [sbbox, mbbox, lbbox] raw conv outputs."""
-    routes = cspdarknet53(ops, x)
+    routes = cspdarknet53(ops, x, csp_repeats)
     return yolov4_neck(ops, routes, num_classes)
 
 

@@ -188,6 +188,102 @@ def _finalize(top_scores, top_boxes, keep, max_per_class: int,
     return sel_boxes, sel_scores, sel_classes, n_valid
 
 
+def _suppress_rank_kernel(coords_ref, scores_ref, rank_ref, keep_ref, *,
+                          iou_threshold: float, score_threshold: float,
+                          max_per_class: int):
+    """One image: greedy NMS in candidate order with per-class rank matrix.
+
+    Boxes stay in the (shared, best-score-descending) candidate order; the
+    per-class score order lives in ``rank_ref`` (rank[c,k] = position of
+    candidate k in class c's descending-score order).  This avoids gathering
+    a (C, K, 4) sorted-box tensor in HBM — the dominant cost of the sorted
+    layout.  Per-class capping happens here too (a rank-ordered cumsum is
+    free inside the rank loop, expensive outside it).
+
+    coords_ref: (1, 4, K) candidate corner planes x1,y1,x2,y2 (x1<=x2, y1<=y2).
+    scores_ref: (1, C, K) candidate-order class scores.
+    rank_ref:   (1, C, K) int32 per-class ranks.
+    keep_ref:   (1, C, K) float32 out — 1.0 where the candidate is emitted.
+    """
+    x1 = coords_ref[0, 0:1]   # (1, K) — broadcasts against (C, K)
+    y1 = coords_ref[0, 1:2]
+    x2 = coords_ref[0, 2:3]
+    y2 = coords_ref[0, 3:4]
+    area = (x2 - x1) * (y2 - y1)                          # (1, K)
+    scores = scores_ref[0]                                # (C, K)
+    rank = rank_ref[0]                                    # (C, K)
+    valid = (scores > score_threshold).astype(jnp.float32)
+    nmax = jnp.max(jnp.sum(valid, axis=1)).astype(jnp.int32)
+
+    def body(i, carry):
+        alive, count = carry                              # (C, K), (C, 1)
+        mask_i = (rank == i).astype(jnp.float32)          # (C, K)
+
+        # Masked pivot extraction: broadcast-multiply the (1, K) plane by the
+        # (C, K) rank mask, reduce along K -> per-class (C, 1) pivot values.
+        px1 = jnp.sum(x1 * mask_i, axis=1, keepdims=True)
+        py1 = jnp.sum(y1 * mask_i, axis=1, keepdims=True)
+        px2 = jnp.sum(x2 * mask_i, axis=1, keepdims=True)
+        py2 = jnp.sum(y2 * mask_i, axis=1, keepdims=True)
+        parea = jnp.sum(area * mask_i, axis=1, keepdims=True)
+        palive = jnp.sum(alive * mask_i, axis=1, keepdims=True)
+
+        # Per-class cap: pivots beyond max_per_class survivors are dropped.
+        newcount = count + palive
+        over = (newcount > max_per_class).astype(jnp.float32) * palive
+        palive = palive - over                            # 0 if dropped
+        count = newcount - over
+        alive = alive - over * mask_i                     # drop the pivot
+
+        iw = jnp.maximum(jnp.minimum(px2, x2) - jnp.maximum(px1, x1), 0.0)
+        ih = jnp.maximum(jnp.minimum(py2, y2) - jnp.maximum(py1, y1), 0.0)
+        inter = iw * ih
+        union = parea + area - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)  # (C, K)
+
+        suppress = ((iou > iou_threshold) & (rank > i) & (palive > 0.5))
+        return jnp.where(suppress, 0.0, alive), count
+
+    c = scores.shape[0]
+    alive, _ = lax.fori_loop(
+        0, nmax, body, (valid, jnp.zeros((c, 1), jnp.float32)))
+    keep_ref[0] = alive
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "iou_threshold", "score_threshold", "max_per_class", "interpret"))
+def _suppress_rank_batch(coords: jnp.ndarray, scores: jnp.ndarray,
+                         rank: jnp.ndarray, iou_threshold: float,
+                         score_threshold: float, max_per_class: int,
+                         interpret: bool) -> jnp.ndarray:
+    """coords (B, 4, K), scores (B, C, K), rank (B, C, K) -> keep (B, C, K)."""
+    b, _, k = coords.shape
+    c = scores.shape[1]
+    kernel = functools.partial(_suppress_rank_kernel,
+                               iou_threshold=iou_threshold,
+                               score_threshold=score_threshold,
+                               max_per_class=max_per_class)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, k), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * k * c * k * 14),
+            bytes_accessed=int(b * c * k * 4 * 4), transcendentals=0),
+    )(coords, scores, rank)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "iou_threshold", "score_threshold", "max_per_class", "max_total",
     "candidates", "clip", "interpret"))
@@ -215,26 +311,46 @@ def combined_nms_fast(
     bsz, n, num_classes = scores.shape
     k = min(candidates, n)
 
-    # --- XLA stage 1: one global top-k + tiny per-class sort --------------
+    # --- XLA stage 1: one global top-k + per-class RANKS (boxes stay in
+    # candidate order — no (B,C,K,4) sorted-box gather, the dominant cost of
+    # the sorted layout) ----------------------------------------------------
     best = jnp.max(scores, axis=-1)                       # (B, N)
     _, cand_idx = lax.top_k(best, k)                      # (B, K)
     cand_boxes = jnp.take_along_axis(boxes, cand_idx[..., None], axis=1)
     cand_scores = jnp.take_along_axis(scores, cand_idx[..., None], axis=1)
 
     sc = jnp.swapaxes(cand_scores, 1, 2)                  # (B, C, K)
-    neg_sorted, perm = lax.sort_key_val(
-        -sc, jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), sc.shape))
-    top_scores = -neg_sorted                              # (B, C, K) descending
-    top_boxes = jnp.take_along_axis(cand_boxes[:, None], perm[..., None],
-                                    axis=2)               # (B, C, K, 4)
+    iota_k = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), sc.shape)
+    _, perm = lax.sort_key_val(-sc, iota_k)               # perm: rank -> cand
+    _, rank = lax.sort_key_val(perm, iota_k)              # rank: cand -> rank
 
-    lo = jnp.minimum(top_boxes[..., :2], top_boxes[..., 2:])
-    hi = jnp.maximum(top_boxes[..., :2], top_boxes[..., 2:])
+    lo = jnp.minimum(cand_boxes[..., :2], cand_boxes[..., 2:])
+    hi = jnp.maximum(cand_boxes[..., :2], cand_boxes[..., 2:])
     coords = jnp.stack([lo[..., 0], lo[..., 1], hi[..., 0], hi[..., 1]],
-                       axis=1)                            # (B, 4, C, K)
-    valid = (top_scores > score_threshold).astype(jnp.float32)
+                       axis=1)                            # (B, 4, K)
 
-    # --- Pallas stage 2 + XLA stage 3 --------------------------------------
-    keep = _suppress_batch(coords, valid, iou_threshold, interpret)
-    return _finalize(top_scores, top_boxes, keep, max_per_class, max_total,
-                     clip)
+    # --- Pallas stage 2: suppression + per-class cap in VMEM ---------------
+    keep = _suppress_rank_batch(coords, sc, rank, iou_threshold,
+                                score_threshold, max_per_class, interpret)
+
+    # --- XLA stage 3: global top-max_total merge (candidate order) ---------
+    flat_scores = jnp.where(keep > 0.5, sc, -1.0).reshape(bsz, -1)
+    t = min(max_total, flat_scores.shape[1])
+    sel_scores, sel_idx = lax.top_k(flat_scores, t)       # (B, T)
+    sel_classes = (sel_idx // k).astype(jnp.float32)
+    sel_boxes = jnp.take_along_axis(cand_boxes, (sel_idx % k)[..., None],
+                                    axis=1)               # (B, T, 4)
+    valid_out = sel_scores > 0.0
+    n_valid = jnp.sum(valid_out.astype(jnp.int32), axis=-1)
+
+    sel_scores = jnp.where(valid_out, sel_scores, 0.0)
+    sel_classes = jnp.where(valid_out, sel_classes, 0.0)
+    sel_boxes = jnp.where(valid_out[..., None], sel_boxes, 0.0)
+    if clip:
+        sel_boxes = jnp.clip(sel_boxes, 0.0, 1.0)
+    if t < max_total:
+        pad = max_total - t
+        sel_scores = jnp.pad(sel_scores, ((0, 0), (0, pad)))
+        sel_classes = jnp.pad(sel_classes, ((0, 0), (0, pad)))
+        sel_boxes = jnp.pad(sel_boxes, ((0, 0), (0, pad), (0, 0)))
+    return sel_boxes, sel_scores, sel_classes, n_valid

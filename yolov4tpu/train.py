@@ -19,11 +19,12 @@ from typing import Callable, Iterable, Optional
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
 from .config import YoloConfig
 from .losses import yolo_loss
 from .models import network
-from .parallel.mesh import batch_sharding, make_mesh, replicate, replicated
+from .parallel.mesh import make_mesh, replicate
 
 
 def cosine_annealing_schedule(lr_max: float, lr_min: float, cycle_epochs: int,
@@ -45,24 +46,19 @@ def make_optimizer(config: YoloConfig, schedule=None) -> optax.GradientTransform
     return optax.adam(schedule if schedule is not None else config.learning_rate)
 
 
-def make_train_step(num_classes: int, config: YoloConfig,
-                    optimizer: optax.GradientTransformation,
-                    mesh=None, donate: bool = True):
-    """Build the jitted train step.
-
-    Returned step: (params, state, opt_state, batch) ->
-    (params, state, opt_state, metrics) where batch is
-    {'image': (B,H,W,3), 'labels': [3 grids], 'boxes': (B,M,4)}.
-    """
+def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
+    """(params, state, batch) -> (grads, new_state, metrics) — the shared
+    core of every train-step variant.  Local computation only, no
+    collectives; BN batch statistics are over the batch it is given."""
     anchors = config.anchors_grouped
     compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                      else jnp.float32)
 
-    def step(params, state, opt_state, batch):
+    def grad_and_metrics(params, state, batch):
         def loss_fn(p):
             outs, new_state = network.apply(
                 p, state, batch["image"], num_classes, train=True,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, csp_repeats=config.csp_repeats)
             total, comps = yolo_loss(
                 outs, batch["labels"], batch["boxes"], anchors,
                 config.strides, num_classes, config.iou_loss_thresh,
@@ -74,23 +70,153 @@ def make_train_step(num_classes: int, config: YoloConfig,
 
         (loss, (new_state, comps)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        return grads, new_state, {"loss": loss, **comps}
+
+    return grad_and_metrics
+
+
+def make_train_step(num_classes: int, config: YoloConfig,
+                    optimizer: optax.GradientTransformation,
+                    mesh=None, donate: bool = True):
+    """Build the jitted train step.
+
+    Returned step: (params, state, opt_state, batch) ->
+    (params, state, opt_state, metrics) where batch is
+    {'image': (B,H,W,3), 'labels': [3 grids], 'boxes': (B,M,4)}.
+    """
+    grad_and_metrics = _make_grad_and_metrics(num_classes, config)
+
+    def step(params, state, opt_state, batch):
+        grads, new_state, metrics = grad_and_metrics(params, state, batch)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        metrics = {"loss": loss, **comps}
         return new_params, new_state, new_opt_state, metrics
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
-    repl = replicated(mesh)
-    data = batch_sharding(mesh)
-    batch_shardings = {"image": data, "labels": [data] * 3, "boxes": data}
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, repl, batch_shardings),
-        out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2) if donate else (),
-    )
+    # Mesh path: shard_map with LOCAL BatchNorm statistics and ONE fused
+    # gradient pmean.  Per-replica BN is the reference's semantics (keras
+    # BatchNormalization under MirroredStrategy is not cross-replica synced,
+    # reference models.py:41-44) and collapses the ~300 per-layer
+    # batch-stat collectives GSPMD would otherwise emit into 3 pmeans —
+    # fewer, larger all-reduces ride ICI far better (and XLA:CPU's 40 s
+    # collective rendezvous survives the virtual-device test rig).
+    from jax.sharding import PartitionSpec as P
+
+    batch_spec = {"image": P("data"), "labels": [P("data")] * 3,
+                  "boxes": P("data")}
+
+    n_dev = mesh.devices.size
+
+    def local_step(params, state, opt_state, batch):
+        grads, new_state, metrics = grad_and_metrics(params, state, batch)
+        # shard_map's AD already psums cotangents of replicated inputs
+        # (transpose inserts psum_invariant), so `grads` here is the SUM of
+        # per-replica gradients; divide by the replica count for the mean —
+        # an explicit pmean would be an identity on the already-invariant
+        # value and silently leave an n_dev-times-too-large gradient.
+        grads = jax.tree.map(lambda g: g / n_dev, grads)
+        new_state = lax.pmean(new_state, "data")  # average BN moving stats
+        metrics = lax.pmean(metrics, "data")
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, metrics
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), batch_spec),
+        out_specs=(P(), P(), P(), P()))
+    return jax.jit(sharded, donate_argnums=(0, 1, 2) if donate else ())
+
+
+def make_train_step_twophase(num_classes: int, config: YoloConfig,
+                             optimizer: optax.GradientTransformation, mesh):
+    """Mesh train step split into two dispatches: (1) per-shard gradients
+    with ZERO collectives (outputs stay sharded on the data axis), then (2)
+    a trivial-compute reduce + optimizer update.
+
+    Numerically equivalent to the fused ``make_train_step(mesh=...)`` (same
+    local-BN semantics; mean over the stacked axis == pmean).  Exists for
+    hosts where the mesh is N *virtual* devices time-slicing a few cores
+    (the multi-chip dry-run rig): there the fused step's replicas reach the
+    gradient all-reduce up to N full backward-passes apart, and XLA:CPU's
+    collective rendezvous kills the process after 40 s.  Phase 1 has no
+    rendezvous at all; phase 2's replicas arrive together because their
+    pre-collective compute is trivial.  On real TPU meshes prefer the fused
+    step — it overlaps the backward pass with the gradient all-reduce.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    grad_and_metrics = _make_grad_and_metrics(num_classes, config)
+    batch_spec = {"image": P("data"), "labels": [P("data")] * 3,
+                  "boxes": P("data")}
+
+    def local_grads(params, state, batch):
+        grads, new_state, metrics = grad_and_metrics(params, state, batch)
+        stack = lambda t: jax.tree.map(lambda x: x[None], t)  # noqa: E731
+        return stack(grads), stack(new_state), stack(metrics)
+
+    # check_vma=False: with it on, shard_map's AD transpose inserts a
+    # psum_invariant for the cotangent of the replicated params — a hidden
+    # collective at the END of the heaviest per-replica computation, exactly
+    # the rendezvous this two-phase split exists to avoid.  With it off the
+    # outputs are the raw per-shard gradients, and phase 2's mean performs
+    # the (mathematically identical) reduction.
+    phase1 = jax.jit(jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), P(), batch_spec),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False))
+
+    repl = NamedSharding(mesh, P())
+
+    # Phase 1b (no collectives): concatenate every stacked leaf into ONE
+    # (n_dev, D) slab.  A leaf-wise mean in the reduce phase would emit one
+    # all-reduce per leaf (~500 tiny collectives for this model), and the
+    # concat itself is seconds of per-device memcpy that must NOT sit in
+    # front of a rendezvous — so it gets its own dispatch + barrier.
+    import numpy as _np
+
+    data0 = NamedSharding(mesh, P("data"))
+
+    def to_slab(*stacked):
+        leaves = jax.tree.leaves(stacked)
+        return jnp.concatenate(
+            [l.reshape(l.shape[0], -1) for l in leaves], axis=1)
+
+    # Pin the slab's sharding: inference through a 500-leaf reshape+concat
+    # can fall back to replicated, which would smuggle a 2 GB all-gather
+    # into the next dispatch.
+    phase1b = jax.jit(to_slab, out_shardings=data0)
+
+    def combine(slab, params, opt_state, treedef, shapes):
+        flat = jnp.mean(slab, axis=0)                 # the ONE all-reduce
+        sizes = [max(int(_np.prod(s)), 1) for s in shapes]
+        parts = jnp.split(flat, list(_np.cumsum(sizes))[:-1])
+        merged = [p.reshape(s) for p, s in zip(parts, shapes)]
+        grads, new_state, metrics = jax.tree.unflatten(treedef, merged)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_state,
+                new_opt_state, metrics)
+
+    phase2 = jax.jit(combine, static_argnames=("treedef", "shapes"),
+                     out_shardings=(repl, repl, repl, repl))
+
+    def step(params, state, opt_state, batch):
+        stacked = phase1(params, state, batch)
+        # Barriers: without them async dispatch pipelines the next phase
+        # behind each device's previous one, so the first device reaches the
+        # all-reduce while the others are still in their backward pass —
+        # recreating the exact stagger this function exists to avoid.
+        jax.block_until_ready(stacked)
+        leaves, treedef = jax.tree.flatten(stacked)
+        shapes = tuple(tuple(l.shape[1:]) for l in leaves)
+        slab = phase1b(*stacked)
+        jax.block_until_ready(slab)
+        return phase2(slab, params, opt_state, treedef, shapes)
+
+    return step
 
 
 def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
@@ -99,7 +225,7 @@ def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
 
     def step(params, state, batch):
         outs, _ = network.apply(params, state, batch["image"], num_classes,
-                                train=False)
+                                train=False, csp_repeats=config.csp_repeats)
         return yolo_loss(outs, batch["labels"], batch["boxes"], anchors,
                          config.strides, num_classes, config.iou_loss_thresh,
                          weights=(config.loss_box_weight,
@@ -108,10 +234,18 @@ def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
 
     if mesh is None:
         return jax.jit(step)
-    repl = replicated(mesh)
-    data = batch_sharding(mesh)
-    return jax.jit(step, in_shardings=(
-        repl, repl, {"image": data, "labels": [data] * 3, "boxes": data}))
+
+    from jax.sharding import PartitionSpec as P
+
+    batch_spec = {"image": P("data"), "labels": [P("data")] * 3,
+                  "boxes": P("data")}
+
+    def local_step(params, state, batch):
+        return lax.pmean(step(params, state, batch), "data")
+
+    return jax.jit(jax.shard_map(local_step, mesh=mesh,
+                                 in_specs=(P(), P(), batch_spec),
+                                 out_specs=P()))
 
 
 class Trainer:
