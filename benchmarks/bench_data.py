@@ -9,6 +9,9 @@ Usage: python benchmarks/bench_data.py [--n 64] [--batch 8]
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 import time
 

@@ -7,6 +7,10 @@ Usage: python benchmarks/bench_infer.py [--img 416] [--classes 80]
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

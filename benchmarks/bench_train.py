@@ -6,6 +6,10 @@ Usage: python benchmarks/bench_train.py [--img 416] [--classes 80]
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -60,6 +64,13 @@ def main():
         params = replicate(params, mesh)
         state = replicate(state, mesh)
         opt_state = replicate(opt_state, mesh)
+    else:
+        # init returns host (numpy) arrays; without an explicit device_put a
+        # jit call re-transfers all 256 MB of params EVERY step (seconds
+        # through a tunneled device) because the inputs never become
+        # committed device arrays.
+        params, state, opt_state, batch = jax.device_put(
+            (params, state, opt_state, batch))
 
     def one(params, state, opt_state, batch):
         p, s, o, m = step(params, state, opt_state, batch)

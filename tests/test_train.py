@@ -51,6 +51,17 @@ def test_train_step_runs_and_updates(setup):
                            np.asarray(s2["bn"][0]["mean"]))
 
 
+def test_train_step_bfloat16(setup):
+    """bf16 training works end-to-end (regression: a traced -inf init in the
+    SPP maxpool broke reduce_window's reverse-mode AD for non-f32 dtypes)."""
+    params, state, batch = setup
+    cfg = CFG.replace(compute_dtype="bfloat16")
+    opt = make_optimizer(cfg)
+    step = make_train_step(C, cfg, opt, donate=False)
+    _, _, _, metrics = step(params, state, opt.init(params), batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_overfit_tiny_synthetic(setup, rng):
     """Loss decreases substantially on one repeated batch (integration tier)."""
     params, state, batch = setup

@@ -218,9 +218,10 @@ class _ApplyOps:
 
     def maxpool(self, x, pool: int):
         # Stride-1 SAME max pool (SPP; reference custom_layers.py:130-133).
+        # Init must be a Python scalar (-inf), not a traced array — a traced
+        # init breaks reduce_window's reverse-mode AD rule (bf16 training).
         return lax.reduce_window(
-            x, -jnp.inf if x.dtype == jnp.float32 else jnp.array(-jnp.inf, x.dtype),
-            lax.max, window_dimensions=(1, pool, pool, 1),
+            x, -jnp.inf, lax.max, window_dimensions=(1, pool, pool, 1),
             window_strides=(1, 1, 1, 1), padding="SAME")
 
     def concat(self, xs):

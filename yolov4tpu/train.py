@@ -266,6 +266,11 @@ class Trainer:
             self.params = replicate(self.params, self.mesh)
             self.state = replicate(self.state, self.mesh)
             self.opt_state = replicate(self.opt_state, self.mesh)
+        else:
+            # network.init returns host (numpy) arrays; commit them to the
+            # device once, or the first train step re-transfers all params.
+            self.params, self.state, self.opt_state = jax.device_put(
+                (self.params, self.state, self.opt_state))
         self._step = make_train_step(num_classes, config, self.optimizer,
                                      self.mesh)
         self._eval = make_eval_step(num_classes, config, self.mesh)
