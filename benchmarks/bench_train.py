@@ -31,7 +31,6 @@ def main():
     from yolov4tpu.models import network
     from yolov4tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from yolov4tpu.train import make_optimizer, make_train_step
-    from yolov4tpu.utils.profiling import time_fn
 
     cfg = YoloConfig(img_size=(args.img, args.img, 3), batch_size=args.batch,
                      num_devices=args.devices, compute_dtype=args.dtype)
@@ -40,7 +39,7 @@ def main():
     params, state, _ = network.init(args.classes, img_size=args.img, seed=0)
     opt = make_optimizer(cfg)
     opt_state = opt.init(params)
-    step = make_train_step(args.classes, cfg, opt, mesh=mesh, donate=False)
+    step = make_train_step(args.classes, cfg, opt, mesh=mesh)
 
     bs = args.batch * args.devices
     rng = np.random.default_rng(0)
@@ -72,15 +71,24 @@ def main():
         params, state, opt_state, batch = jax.device_put(
             (params, state, opt_state, batch))
 
-    def one(params, state, opt_state, batch):
-        p, s, o, m = step(params, state, opt_state, batch)
-        return m["loss"]
+    # The real training pattern: outputs feed the next step (buffer
+    # donation reuses params/opt memory). Warmup compiles, then time with a
+    # hard host fetch (block_until_ready can return early on tunneled
+    # platforms).
+    import time
 
-    stats = time_fn(one, params, state, opt_state, batch, iters=10)
+    params, state, opt_state, m = step(params, state, opt_state, batch)
+    jax.device_get(m["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, state, opt_state, m = step(params, state, opt_state, batch)
+    jax.device_get(m["loss"])
+    sec = (time.perf_counter() - t0) / iters
     out = {
         "metric": "train_step_throughput",
-        "img_per_s": round(bs / stats["p50_s"], 2),
-        "p50_ms": round(stats["p50_s"] * 1e3, 2),
+        "img_per_s": round(bs / sec, 2),
+        "p50_ms": round(sec * 1e3, 2),
         "global_batch": bs,
         "devices": args.devices,
         "dtype": args.dtype,
