@@ -61,6 +61,8 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 def save_npz(path: str, params, state, step: int = 0, extra: Optional[dict] = None):
     """Save (params, state[, metadata]) to one .npz file."""
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     params = jax.tree.map(np.asarray, params)
     state = jax.tree.map(np.asarray, state)
     flat = {}
