@@ -81,7 +81,7 @@ def main():
         return batch * iters / dt
 
     best_bs, best = None, 0.0
-    for batch in (64, 128):
+    for batch in (128, 192):
         try:
             ips = measure(batch)
         except Exception:

@@ -75,6 +75,23 @@ def test_mish_and_leaky_values():
     np.testing.assert_allclose(leaky, [-0.2, -0.05, 0.0, 1.0, 3.0], rtol=1e-6)
 
 
+def test_mish_fast_identity_wide_range():
+    """_mish uses the single-exp rational identity; verify it tracks the
+    naive x*tanh(softplus(x)) within the golden-parity budget over a wide
+    range, including the x>20 clamp region, and has finite gradients."""
+    import math
+    xs = np.linspace(-40.0, 60.0, 5001).astype(np.float32)
+    got = np.asarray(network._mish(jnp.asarray(xs)))
+    want = np.array([x * math.tanh(math.log1p(math.exp(min(x, 80.0))))
+                     for x in xs], np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    g = jax.grad(lambda v: jnp.sum(network._mish(v)))(jnp.asarray(xs))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # mish'(x) -> 1 for large x, -> 0 for very negative x.
+    gn = np.asarray(g)
+    assert abs(gn[-1] - 1.0) < 1e-5 and abs(gn[0]) < 1e-5
+
+
 def test_bn_inference_math_keras_eps():
     """Inference BN: (x-mean)/sqrt(var+1e-3)*gamma+beta (Keras default eps)."""
     params, state, _ = network.init(3, img_size=32, seed=0)
