@@ -34,8 +34,8 @@ def main():
         pass
 
     from yolov4tpu.config import YoloConfig
-    from yolov4tpu.models import head, network
-    from yolov4tpu.ops.nms_pallas import combined_nms_fast
+    from yolov4tpu.models import network
+    from yolov4tpu.ops.detect import detect_fused
 
     num_classes = 80
     cfg = YoloConfig(compute_dtype="bfloat16")
@@ -50,11 +50,9 @@ def main():
     def infer(folded_params, images):
         raws = network.apply_folded(folded_params, images, num_classes,
                                     compute_dtype)
-        outs = head.decode_head(raws, anchors, num_classes, cfg.strides,
-                                cfg.xyscale)
-        boxes, scores = head.flatten_boxes_scores(outs, 416, num_classes)
-        return combined_nms_fast(
-            boxes, scores, iou_threshold=cfg.iou_threshold,
+        return detect_fused(
+            raws, anchors, num_classes, cfg.strides, cfg.xyscale, 416,
+            iou_threshold=cfg.iou_threshold,
             score_threshold=cfg.score_threshold,
             candidates=cfg.nms_pre_top_k,
             interpret=jax.default_backend() != "tpu")

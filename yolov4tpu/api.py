@@ -121,18 +121,21 @@ class Yolov4:
             raws = network.apply_folded(folded, images, num_classes,
                                         self._compute_dtype,
                                         csp_repeats=cfg.csp_repeats)
+            interpret = jax.default_backend() != "tpu"
+            if cfg.nms_impl == "fast":
+                # Fused path: candidate reduction straight from raw logits;
+                # boxes/class-scores decoded for the top-K candidates only.
+                from .ops.detect import detect_fused
+                return detect_fused(
+                    raws, self.anchors, num_classes, self.strides,
+                    self.xyscale, self.img_size[0], iou_threshold=iou_t,
+                    score_threshold=score_t, max_per_class=cfg.max_boxes,
+                    max_total=cfg.max_boxes, candidates=cfg.nms_pre_top_k,
+                    interpret=interpret)
             outs = head.decode_head(raws, self.anchors, num_classes,
                                     self.strides, self.xyscale)
             boxes, scores = head.flatten_boxes_scores(
                 outs, self.img_size[0], num_classes)
-            interpret = jax.default_backend() != "tpu"
-            if cfg.nms_impl == "fast":
-                from .ops.nms_pallas import combined_nms_fast
-                return combined_nms_fast(
-                    boxes, scores, iou_threshold=iou_t,
-                    score_threshold=score_t, max_per_class=cfg.max_boxes,
-                    max_total=cfg.max_boxes, candidates=cfg.nms_pre_top_k,
-                    interpret=interpret)
             if cfg.nms_impl == "pallas":
                 from .ops.nms_pallas import combined_nms_pallas
                 return combined_nms_pallas(

@@ -284,6 +284,58 @@ def _suppress_rank_batch(coords: jnp.ndarray, scores: jnp.ndarray,
     )(coords, scores, rank)
 
 
+def nms_from_candidates(
+    cand_boxes: jnp.ndarray, cand_scores: jnp.ndarray,
+    iou_threshold: float, score_threshold: float, max_per_class: int,
+    max_total: int, clip: bool, interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Combined NMS over an already-reduced candidate set.
+
+    cand_boxes (B, K, 4) corner format, cand_scores (B, K, C) -> the
+    combined-NMS output tuple.  Shared tail of ``combined_nms_fast`` and the
+    fused detection path (``ops.detect``): per-class rank matrices, the
+    VMEM-resident Pallas suppression kernel with in-kernel per-class cap,
+    then the global top-``max_total`` merge in candidate order.
+    """
+    bsz, k, num_classes = cand_scores.shape
+
+    sc = jnp.swapaxes(cand_scores, 1, 2)                  # (B, C, K)
+    iota_k = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), sc.shape)
+    _, perm = lax.sort_key_val(-sc, iota_k)               # perm: rank -> cand
+    _, rank = lax.sort_key_val(perm, iota_k)              # rank: cand -> rank
+
+    lo = jnp.minimum(cand_boxes[..., :2], cand_boxes[..., 2:])
+    hi = jnp.maximum(cand_boxes[..., :2], cand_boxes[..., 2:])
+    coords = jnp.stack([lo[..., 0], lo[..., 1], hi[..., 0], hi[..., 1]],
+                       axis=1)                            # (B, 4, K)
+
+    # --- Pallas: suppression + per-class cap in VMEM -----------------------
+    keep = _suppress_rank_batch(coords, sc, rank, iou_threshold,
+                                score_threshold, max_per_class, interpret)
+
+    # --- XLA: global top-max_total merge (candidate order) -----------------
+    flat_scores = jnp.where(keep > 0.5, sc, -1.0).reshape(bsz, -1)
+    t = min(max_total, flat_scores.shape[1])
+    sel_scores, sel_idx = lax.top_k(flat_scores, t)       # (B, T)
+    sel_classes = (sel_idx // k).astype(jnp.float32)
+    sel_boxes = jnp.take_along_axis(cand_boxes, (sel_idx % k)[..., None],
+                                    axis=1)               # (B, T, 4)
+    valid_out = sel_scores > 0.0
+    n_valid = jnp.sum(valid_out.astype(jnp.int32), axis=-1)
+
+    sel_scores = jnp.where(valid_out, sel_scores, 0.0)
+    sel_classes = jnp.where(valid_out, sel_classes, 0.0)
+    sel_boxes = jnp.where(valid_out[..., None], sel_boxes, 0.0)
+    if clip:
+        sel_boxes = jnp.clip(sel_boxes, 0.0, 1.0)
+    if t < max_total:
+        pad = max_total - t
+        sel_scores = jnp.pad(sel_scores, ((0, 0), (0, pad)))
+        sel_classes = jnp.pad(sel_classes, ((0, 0), (0, pad)))
+        sel_boxes = jnp.pad(sel_boxes, ((0, 0), (0, pad), (0, 0)))
+    return sel_boxes, sel_scores, sel_classes, n_valid
+
+
 @functools.partial(jax.jit, static_argnames=(
     "iou_threshold", "score_threshold", "max_per_class", "max_total",
     "candidates", "clip", "interpret"))
@@ -319,38 +371,7 @@ def combined_nms_fast(
     cand_boxes = jnp.take_along_axis(boxes, cand_idx[..., None], axis=1)
     cand_scores = jnp.take_along_axis(scores, cand_idx[..., None], axis=1)
 
-    sc = jnp.swapaxes(cand_scores, 1, 2)                  # (B, C, K)
-    iota_k = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), sc.shape)
-    _, perm = lax.sort_key_val(-sc, iota_k)               # perm: rank -> cand
-    _, rank = lax.sort_key_val(perm, iota_k)              # rank: cand -> rank
-
-    lo = jnp.minimum(cand_boxes[..., :2], cand_boxes[..., 2:])
-    hi = jnp.maximum(cand_boxes[..., :2], cand_boxes[..., 2:])
-    coords = jnp.stack([lo[..., 0], lo[..., 1], hi[..., 0], hi[..., 1]],
-                       axis=1)                            # (B, 4, K)
-
-    # --- Pallas stage 2: suppression + per-class cap in VMEM ---------------
-    keep = _suppress_rank_batch(coords, sc, rank, iou_threshold,
-                                score_threshold, max_per_class, interpret)
-
-    # --- XLA stage 3: global top-max_total merge (candidate order) ---------
-    flat_scores = jnp.where(keep > 0.5, sc, -1.0).reshape(bsz, -1)
-    t = min(max_total, flat_scores.shape[1])
-    sel_scores, sel_idx = lax.top_k(flat_scores, t)       # (B, T)
-    sel_classes = (sel_idx // k).astype(jnp.float32)
-    sel_boxes = jnp.take_along_axis(cand_boxes, (sel_idx % k)[..., None],
-                                    axis=1)               # (B, T, 4)
-    valid_out = sel_scores > 0.0
-    n_valid = jnp.sum(valid_out.astype(jnp.int32), axis=-1)
-
-    sel_scores = jnp.where(valid_out, sel_scores, 0.0)
-    sel_classes = jnp.where(valid_out, sel_classes, 0.0)
-    sel_boxes = jnp.where(valid_out[..., None], sel_boxes, 0.0)
-    if clip:
-        sel_boxes = jnp.clip(sel_boxes, 0.0, 1.0)
-    if t < max_total:
-        pad = max_total - t
-        sel_scores = jnp.pad(sel_scores, ((0, 0), (0, pad)))
-        sel_classes = jnp.pad(sel_classes, ((0, 0), (0, pad)))
-        sel_boxes = jnp.pad(sel_boxes, ((0, 0), (0, pad), (0, 0)))
-    return sel_boxes, sel_scores, sel_classes, n_valid
+    # --- Stages 2-3: rank sorts, Pallas suppression, global merge ----------
+    return nms_from_candidates(cand_boxes, cand_scores, iou_threshold,
+                               score_threshold, max_per_class, max_total,
+                               clip, interpret)
