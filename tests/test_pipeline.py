@@ -84,6 +84,32 @@ def test_mosaic4(dataset, rng):
         assert np.all(boxes[:, 3] > boxes[:, 1])
 
 
+def test_cutmix2(dataset, rng):
+    from yolov4tpu.data.pipeline import cutmix2
+    a_boxes = np.array([[5, 5, 60, 60, 0]], np.float32)
+    b_boxes = np.array([[0, 0, 64, 64, 1]], np.float32)
+    img_a, ba = load_and_resize(f"{dataset['img_dir']}/im0.jpg", (64, 64),
+                                a_boxes)
+    img_b, bb = load_and_resize(f"{dataset['img_dir']}/im1.jpg", (64, 64),
+                                b_boxes)
+    img, boxes = cutmix2((img_a, ba), (img_b, bb), rng)
+    assert img.shape == (64, 64, 3)
+    assert not np.allclose(img, img_a)  # a region was pasted
+    # B's full-image box got clipped to the pasted region (< full size).
+    b_rows = boxes[boxes[:, 4] == 1]
+    assert len(b_rows) == 1
+    assert (b_rows[0, 2] - b_rows[0, 0]) < 64
+    assert boxes[:, 0].min() >= 0 and boxes[:, 2].max() <= 64
+
+
+def test_generator_cutmix_batches(dataset):
+    gen = DataGenerator(dataset["lines"], dataset["classes"],
+                        dataset["img_dir"], config=CFG, cutmix=True, seed=0)
+    b = gen.get_batch(0)
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert all(np.isfinite(l).all() for l in b["labels"])
+
+
 def test_prefetch_yields_all_batches(dataset):
     gen = DataGenerator(dataset["lines"], dataset["classes"],
                         dataset["img_dir"], config=CFG, seed=0)

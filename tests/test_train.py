@@ -62,6 +62,24 @@ def test_train_step_bfloat16(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_train_step_sat(setup):
+    """Self-adversarial training: the FGSM image perturbation changes the
+    update (vs sat off) and keeps the loss finite."""
+    params, state, batch = setup
+    cfg_sat = CFG.replace(sat_epsilon=0.01)
+    opt = make_optimizer(CFG)
+    p_plain, _, _, m_plain = make_train_step(C, CFG, opt, donate=False)(
+        params, state, opt.init(params), batch)
+    p_sat, _, _, m_sat = make_train_step(C, cfg_sat, opt, donate=False)(
+        params, state, opt.init(params), batch)
+    assert np.isfinite(float(m_sat["loss"]))
+    # The adversarial image raises the loss relative to the clean batch.
+    assert float(m_sat["loss"]) >= float(m_plain["loss"])
+    w_plain = np.asarray(jax.tree.leaves(p_plain)[0])
+    w_sat = np.asarray(jax.tree.leaves(p_sat)[0])
+    assert not np.allclose(w_plain, w_sat)
+
+
 def test_overfit_tiny_synthetic(setup, rng):
     """Loss decreases substantially on one repeated batch (integration tier)."""
     params, state, batch = setup

@@ -42,6 +42,11 @@ class YoloConfig:
     # Optional extras the reference lists as TODOs (README.md:10-13).
     label_smoothing: float = 0.0
     use_mosaic: bool = False
+    use_cutmix: bool = False
+    # Self-adversarial training (reference README.md TODO): FGSM image
+    # perturbation of strength sat_epsilon (in [0,1] pixel units) before the
+    # weight update.  0 disables.
+    sat_epsilon: float = 0.0
 
     # --- Inference (reference config.py:14-16) ---
     max_boxes: int = 100

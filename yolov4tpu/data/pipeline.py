@@ -81,6 +81,53 @@ def mosaic4(samples, target_hw, rng: np.random.Generator):
     return canvas, boxes
 
 
+def cutmix2(sample_a, sample_b, rng: np.random.Generator):
+    """CutMix for detection: paste a random rectangle of image B into A.
+
+    Implements the reference's unchecked 'Cutmix' TODO (reference
+    README.md:10-13).  Boxes from B inside the pasted region are clipped to
+    it; boxes from A mostly covered by the region (>80% of their area) are
+    dropped, others kept unchanged.
+    """
+    (img_a, boxes_a), (img_b, boxes_b) = sample_a, sample_b
+    h, w = img_a.shape[:2]
+    rw = int(rng.uniform(0.2, 0.5) * w)
+    rh = int(rng.uniform(0.2, 0.5) * h)
+    x0 = int(rng.uniform(0, w - rw))
+    y0 = int(rng.uniform(0, h - rh))
+    x1, y1 = x0 + rw, y0 + rh
+
+    import cv2
+
+    out = img_a.copy()
+    bh, bw = img_b.shape[:2]
+    out[y0:y1, x0:x1] = cv2.resize(img_b, (rw, rh)) if (bh, bw) != (h, w) \
+        else img_b[y0:y1, x0:x1]
+
+    kept = []
+    if len(boxes_a):
+        a = boxes_a.astype(np.float32)
+        ix = np.maximum(np.minimum(a[:, 2], x1) - np.maximum(a[:, 0], x0), 0)
+        iy = np.maximum(np.minimum(a[:, 3], y1) - np.maximum(a[:, 1], y0), 0)
+        inter = ix * iy
+        area = np.maximum((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]), 1e-6)
+        kept.append(a[inter / area <= 0.8])
+    if len(boxes_b):
+        b = boxes_b.astype(np.float32).copy()
+        if (bh, bw) != (h, w):
+            b[:, [0, 2]] *= rw / bw
+            b[:, [1, 3]] *= rh / bh
+            b[:, [0, 2]] += x0
+            b[:, [1, 3]] += y0
+        b[:, [0, 2]] = np.clip(b[:, [0, 2]], x0, x1)
+        b[:, [1, 3]] = np.clip(b[:, [1, 3]], y0, y1)
+        keep = ((b[:, 2] - b[:, 0]) > 2) & ((b[:, 3] - b[:, 1]) > 2)
+        kept.append(b[keep])
+    boxes = (np.concatenate(kept, axis=0) if kept
+             else np.zeros((0, 5), np.float32))
+    return out, boxes
+
+
 class DataGenerator:
     """Batched data generator (reference utils.py:121-207 equivalent).
 
@@ -92,7 +139,8 @@ class DataGenerator:
     def __init__(self, annotation_lines: Sequence[str], class_name_path: str,
                  folder_path: str, max_boxes: int = 100, shuffle: bool = True,
                  config: YoloConfig = DEFAULT_CONFIG, mosaic: bool = False,
-                 seed: Optional[int] = None, use_native: bool = True):
+                 cutmix: bool = False, seed: Optional[int] = None,
+                 use_native: bool = True):
         self.annotation_lines = list(annotation_lines)
         self.num_classes = len([l.strip() for l in open(class_name_path)])
         self.config = config
@@ -103,6 +151,7 @@ class DataGenerator:
         self.folder_path = folder_path
         self.max_boxes = max_boxes
         self.mosaic = mosaic or config.use_mosaic
+        self.cutmix = cutmix or config.use_cutmix
         self.rng = np.random.default_rng(seed)
         self.indexes = np.arange(len(self.annotation_lines))
         if use_native:
@@ -135,6 +184,10 @@ class DataGenerator:
                      self.rng.integers(0, len(self.annotation_lines), 3)]
             img, boxes = mosaic4([(img, boxes)] + extra,
                                  self.target_img_size[:2], self.rng)
+        if self.cutmix:
+            other = self._load_line(self.annotation_lines[
+                int(self.rng.integers(0, len(self.annotation_lines)))])
+            img, boxes = cutmix2((img, boxes), other, self.rng)
         box_data = np.zeros((self.max_boxes, 5), np.float32)
         if len(boxes):
             perm = self.rng.permutation(len(boxes))
@@ -175,7 +228,7 @@ class DataGenerator:
     def get_batch(self, index: int) -> dict:
         idxs = self.indexes[index * self.batch_size:(index + 1) * self.batch_size]
         lines = [self.annotation_lines[i] for i in idxs]
-        if self.use_native and not self.mosaic:
+        if self.use_native and not self.mosaic and not self.cutmix:
             return self._get_batch_native(lines)
         n = len(lines)
         X = np.empty((n, *self.target_img_size), np.float32)

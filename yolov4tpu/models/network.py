@@ -203,9 +203,17 @@ class _ApplyOps:
             gamma = p["gamma"]
             beta = p["beta"]
             if self.train:
-                yf = y.astype(jnp.float32)
-                mean = jnp.mean(yf, axis=(0, 1, 2))
-                var = jnp.var(yf, axis=(0, 1, 2))
+                # Single-pass batch stats with f32 accumulation:
+                # var = E[x^2] - E[x]^2 (the flax BatchNorm formulation).
+                # The naive astype(f32) + jnp.mean + jnp.var spelling costs
+                # three passes over every activation (cast copy, mean,
+                # centered second moment) in fwd AND bwd — ~15% of the whole
+                # train step at 416^2.  Here both moments are one fused
+                # reduction each over the bf16 activations.
+                mean = jnp.mean(y, axis=(0, 1, 2), dtype=jnp.float32)
+                mean2 = jnp.mean(
+                    lax.square(y.astype(jnp.float32)), axis=(0, 1, 2))
+                var = jnp.maximum(mean2 - lax.square(mean), 0.0)
                 self.new_bn.append({
                     "mean": BN_MOMENTUM * bn["mean"] + (1 - BN_MOMENTUM) * mean,
                     "var": BN_MOMENTUM * bn["var"] + (1 - BN_MOMENTUM) * var,

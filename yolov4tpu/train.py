@@ -55,6 +55,28 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
                      else jnp.float32)
 
     def grad_and_metrics(params, state, batch):
+        if config.sat_epsilon > 0.0:
+            # Self-adversarial training (the reference's unchecked TODO,
+            # reference README.md:10-13): one FGSM step on the IMAGES that
+            # maximises the current loss, then the normal weight update on
+            # the perturbed batch.  Doubles fwd+bwd cost, as in the paper.
+            def img_loss(images):
+                outs, _ = network.apply(
+                    params, state, images, num_classes, train=True,
+                    compute_dtype=compute_dtype,
+                    csp_repeats=config.csp_repeats)
+                return yolo_loss(
+                    outs, batch["labels"], batch["boxes"], anchors,
+                    config.strides, num_classes, config.iou_loss_thresh,
+                    weights=(config.loss_box_weight, config.loss_conf_weight,
+                             config.loss_prob_weight),
+                    label_smoothing=config.label_smoothing)
+
+            g_img = jax.grad(img_loss)(batch["image"])
+            adv = jnp.clip(batch["image"]
+                           + config.sat_epsilon * jnp.sign(g_img), 0.0, 1.0)
+            batch = dict(batch, image=adv)
+
         def loss_fn(p):
             outs, new_state = network.apply(
                 p, state, batch["image"], num_classes, train=True,
