@@ -42,8 +42,10 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test gets a fresh deterministic stream, so test
+    # outcomes can't depend on which tests ran earlier in the session.
     return np.random.default_rng(1234)
 
 

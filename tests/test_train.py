@@ -29,9 +29,9 @@ def _synthetic_batch(rng, bs=2):
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
+def setup():
     params, state, _ = network.init(C, img_size=64, seed=0)
-    batch = _synthetic_batch(rng)
+    batch = _synthetic_batch(np.random.default_rng(1234))
     return params, state, batch
 
 

@@ -197,10 +197,20 @@ class Yolov4:
     # Inference
     # ------------------------------------------------------------------
     def preprocess_img(self, img):
-        """Stretch-resize + /255 (reference models.py:95-98)."""
+        """Resize + /255 (reference models.py:95-98): stretch by default,
+        aspect-preserving gray letterbox when config.letterbox is set."""
+        return self._preprocess_with_transform(img)[0]
+
+    def _preprocess_with_transform(self, img):
+        """(model-space float img, letterbox transform or None)."""
         import cv2
-        img = cv2.resize(img, self.img_size[:2])
-        return img / 255.0
+        if self.config.letterbox:
+            from .data.pipeline import letterbox_resize
+            out, _, t = letterbox_resize(
+                np.asarray(img), self.img_size[:2],
+                np.zeros((0, 5), np.float32))
+            return out, (t, self.img_size[:2])
+        return cv2.resize(np.asarray(img), self.img_size[:2]) / 255.0, None
 
     def predict_batch(self, imgs: np.ndarray,
                       iou_threshold: Optional[float] = None,
@@ -216,12 +226,13 @@ class Yolov4:
     def predict_img(self, raw_img, random_color=True, plot_img=True,
                     figsize=(10, 10), show_text=True, return_output=False):
         """Single-image inference + drawing (reference models.py:109-123)."""
-        img = self.preprocess_img(raw_img)
+        img, transform = self._preprocess_with_transform(raw_img)
         imgs = np.expand_dims(img, axis=0)
         pred_output = [np.asarray(o) for o in self.predict_batch(imgs)]
         detections = get_detection_data(img=raw_img,
                                         model_outputs=pred_output,
-                                        class_names=self.class_names)
+                                        class_names=self.class_names,
+                                        letterbox_transform=transform)
         output_img = draw_bbox(raw_img, detections, cmap=self.class_color,
                                random_color=random_color, figsize=figsize,
                                show_text=show_text, show_img=plot_img)
@@ -252,13 +263,14 @@ class Yolov4:
         (reference models.py:516-529)."""
         import cv2
         raw_img = cv2.imread(img_path)
-        img = self.preprocess_img(raw_img)
+        img, transform = self._preprocess_with_transform(raw_img)
         imgs = np.expand_dims(img, axis=0)
         pred_output = [np.asarray(o) for o in self.predict_batch(
             imgs, iou_threshold, score_threshold)]
         detections = get_detection_data(img=raw_img,
                                         model_outputs=pred_output,
-                                        class_names=self.class_names)
+                                        class_names=self.class_names,
+                                        letterbox_transform=transform)
         draw_bbox(raw_img, detections, cmap=self.class_color, random_color=True)
         return detections
 
@@ -299,7 +311,8 @@ class Yolov4:
         evalmap.export_prediction(
             lambda imgs: self.predict_batch(imgs), annotation_path,
             pred_folder_path, img_folder_path, self.img_size[:2],
-            self.class_names, bs=bs, verbose=verbose)
+            self.class_names, bs=bs, verbose=verbose,
+            letterbox=self.config.letterbox)
 
     def eval_map(self, gt_folder_path: str, pred_folder_path: str,
                  temp_json_folder_path: str, output_files_path: str,

@@ -48,6 +48,11 @@ class YoloConfig:
     # weight update.  0 disables.
     sat_epsilon: float = 0.0
 
+    # Aspect-preserving letterbox resize (gray padding) instead of the
+    # reference's stretch resize (reference utils.py:195).  Off by default
+    # for parity; affects training pipeline, inference and eval export alike.
+    letterbox: bool = False
+
     # --- Inference (reference config.py:14-16) ---
     max_boxes: int = 100
     iou_threshold: float = 0.413

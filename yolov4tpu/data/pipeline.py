@@ -28,15 +28,54 @@ from ..config import DEFAULT_CONFIG, YoloConfig
 from .encode import preprocess_true_boxes
 
 
-def load_and_resize(img_path: str, target_hw, boxes: np.ndarray):
-    """cv2 read (BGR->RGB) + stretch resize + box rescale
-    (reference utils.py:187-204)."""
+def letterbox_transform(raw_hw, target_hw):
+    """(scale, dx, dy): raw -> model coords are x*scale+dx, y*scale+dy."""
+    ih, iw = raw_hw
+    h, w = target_hw
+    s = min(w / iw, h / ih)
+    nw, nh = int(round(iw * s)), int(round(ih * s))
+    return s, (w - nw) // 2, (h - nh) // 2
+
+
+def letterbox_resize(img: np.ndarray, target_hw, boxes: np.ndarray):
+    """Aspect-preserving resize onto a gray canvas + box remap.
+
+    img: HWC uint8/float RGB; boxes: (M, 5) corner px + class.
+    Returns (float32 HWC in [0,1], remapped boxes, (scale, dx, dy)).
+    """
+    import cv2
+
+    ih, iw = img.shape[:2]
+    h, w = target_hw
+    s, dx, dy = letterbox_transform((ih, iw), (h, w))
+    nw, nh = int(round(iw * s)), int(round(ih * s))
+    canvas = np.full((h, w, 3), 0.5, np.float32)
+    canvas[dy:dy + nh, dx:dx + nw] = (
+        cv2.resize(np.ascontiguousarray(img), (nw, nh)).astype(np.float32)
+        / 255.0)
+    if len(boxes):
+        boxes = boxes.astype(np.float32).copy()
+        boxes[:, [0, 2]] = boxes[:, [0, 2]] * s + dx
+        boxes[:, [1, 3]] = boxes[:, [1, 3]] * s + dy
+    return canvas, boxes, (s, dx, dy)
+
+
+def load_and_resize(img_path: str, target_hw, boxes: np.ndarray,
+                    letterbox: bool = False):
+    """cv2 read (BGR->RGB) + resize + box rescale (reference utils.py:187-204).
+
+    Default is the reference's stretch (non-letterbox) resize; with
+    ``letterbox=True`` the aspect ratio is preserved with gray padding.
+    """
     import cv2
 
     img = cv2.imread(img_path)
     if img is None:
         raise FileNotFoundError(img_path)
     img = img[:, :, ::-1]
+    if letterbox:
+        img, boxes, _ = letterbox_resize(img, target_hw, boxes)
+        return img, boxes
     ih, iw = img.shape[:2]
     h, w = target_hw
     img = cv2.resize(img, (w, h)).astype(np.float32) / 255.0
@@ -174,7 +213,8 @@ class DataGenerator:
         img_path = os.path.join(self.folder_path, parts[0])
         boxes = np.array([[float(v) for v in b.split(",")] for b in parts[1:]],
                          dtype=np.float32).reshape(-1, 5)
-        return load_and_resize(img_path, self.target_img_size[:2], boxes)
+        return load_and_resize(img_path, self.target_img_size[:2], boxes,
+                               letterbox=self.config.letterbox)
 
     def get_data(self, annotation_line: str):
         """(img float32 HWC /255, box_data (max_boxes,5)) for one line."""
@@ -228,7 +268,8 @@ class DataGenerator:
     def get_batch(self, index: int) -> dict:
         idxs = self.indexes[index * self.batch_size:(index + 1) * self.batch_size]
         lines = [self.annotation_lines[i] for i in idxs]
-        if self.use_native and not self.mosaic and not self.cutmix:
+        if (self.use_native and not self.mosaic and not self.cutmix
+                and not self.config.letterbox):
             return self._get_batch_native(lines)
         n = len(lines)
         X = np.empty((n, *self.target_img_size), np.float32)

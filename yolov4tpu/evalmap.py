@@ -80,7 +80,7 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                       pred_folder_path: str, img_folder_path: str,
                       target_img_size: Tuple[int, int],
                       class_names: Sequence[str], bs: int = 8,
-                      verbose: bool = True) -> None:
+                      verbose: bool = True, letterbox: bool = False) -> None:
     """Run inference over all annotation images, write per-image pred txts
     (reference models.py:141-179) with boxes denormalised to original size.
 
@@ -101,12 +101,20 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
         paths = img_paths[start:start + bs]
         imgs = np.zeros((len(paths), h, w, 3), np.float32)
         raw_shapes = []
+        transforms = []
         for j, path in enumerate(paths):
             img = cv2.imread(path)
             if img is None:
                 raise FileNotFoundError(path)
             raw_shapes.append(img.shape)
-            imgs[j] = cv2.resize(img, (w, h)).astype(np.float32) / 255.0
+            if letterbox:
+                from .data.pipeline import letterbox_resize
+                imgs[j], _, t = letterbox_resize(img, (h, w),
+                                                 np.zeros((0, 5), np.float32))
+                transforms.append(t)
+            else:
+                imgs[j] = cv2.resize(img, (w, h)).astype(np.float32) / 255.0
+                transforms.append(None)
 
         if len(paths) < bs:  # keep the jitted shape static
             imgs = np.pad(imgs, ((0, bs - len(paths)), (0, 0), (0, 0), (0, 0)))
@@ -117,8 +125,15 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
             n = int(b_valid[k])
             boxes = b_boxes[k, :n].copy()
             rh, rw = raw_shapes[k][:2]
-            boxes[:, [0, 2]] *= rw
-            boxes[:, [1, 3]] *= rh
+            if transforms[k] is not None:
+                s, dx, dy = transforms[k]
+                boxes[:, [0, 2]] = np.clip((boxes[:, [0, 2]] * w - dx) / s,
+                                           0, rw)
+                boxes[:, [1, 3]] = np.clip((boxes[:, [1, 3]] * h - dy) / s,
+                                           0, rh)
+            else:
+                boxes[:, [0, 2]] *= rw
+                boxes[:, [1, 3]] *= rh
             names = [class_names[int(c)] for c in b_classes[k, :n]]
             filename = os.path.basename(path).rsplit(".", 1)[0]
             with open(os.path.join(pred_folder_path, filename + ".txt"), "w") as f:

@@ -6,13 +6,18 @@ import numpy as np
 import pandas as pd
 
 
-def get_detection_data(img, model_outputs, class_names):
+def get_detection_data(img, model_outputs, class_names,
+                       letterbox_transform=None):
     """Model NMS outputs -> pandas DataFrame (reference utils.py:56-78).
 
     model_outputs: (boxes, scores, classes, valid_detections) batched arrays;
     entry 0 of the batch is used.  Boxes are normalised [0,1]; they are scaled
     to the raw image's size.  Column contract matches the reference exactly:
     [x1, y1, x2, y2, class_name, score, w, h].
+
+    letterbox_transform: ((scale, dx, dy), (model_h, model_w)) when the image
+    was letterboxed — boxes are then unpadded/unscaled back to raw coords
+    instead of plain stretching.
     """
     num_bboxes = int(np.asarray(model_outputs[-1])[0])
     boxes, scores, classes = [np.asarray(o)[0][:num_bboxes]
@@ -20,8 +25,15 @@ def get_detection_data(img, model_outputs, class_names):
 
     h, w = img.shape[:2]
     df = pd.DataFrame(boxes, columns=["x1", "y1", "x2", "y2"])
-    df[["x1", "x2"]] = (df[["x1", "x2"]] * w).astype("int64")
-    df[["y1", "y2"]] = (df[["y1", "y2"]] * h).astype("int64")
+    if letterbox_transform is not None:
+        (s, dx, dy), (mh, mw) = letterbox_transform
+        df[["x1", "x2"]] = (np.clip((df[["x1", "x2"]] * mw - dx) / s, 0, w)
+                            ).astype("int64")
+        df[["y1", "y2"]] = (np.clip((df[["y1", "y2"]] * mh - dy) / s, 0, h)
+                            ).astype("int64")
+    else:
+        df[["x1", "x2"]] = (df[["x1", "x2"]] * w).astype("int64")
+        df[["y1", "y2"]] = (df[["y1", "y2"]] * h).astype("int64")
     df["class_name"] = np.array(class_names)[classes.astype("int64")]
     df["score"] = scores
     df["w"] = df["x2"] - df["x1"]
