@@ -1,0 +1,47 @@
+"""AOT export/serving round trip: export_detector -> load_detector parity
+with the live model (serving.py; deployment story replacing the reference's
+keras SavedModel, reference models.py:92-93)."""
+
+import numpy as np
+import pytest
+
+from yolov4tpu import Yolov4
+from yolov4tpu.config import YoloConfig
+from yolov4tpu import serving
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    classes = tmp_path_factory.mktemp("serving") / "classes.txt"
+    classes.write_text("a\nb\nc\n")
+    cfg = YoloConfig(img_size=(64, 64, 3), csp_repeats=(1, 1, 1, 1, 1),
+                     nms_impl="xla")
+    return Yolov4(weight_path=None, class_name_path=str(classes), config=cfg)
+
+
+def test_export_load_round_trip(tiny_model, tmp_path):
+    path = str(tmp_path / "det.shlo")
+    exported = serving.export_detector(tiny_model, path, batch_size=2)
+    assert exported is not None
+    assert len(open(path, "rb").read()) > 1000
+
+    detect = serving.load_detector(path)
+    imgs = np.random.default_rng(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    got = [np.asarray(o) for o in detect(imgs)]
+    want = [np.asarray(o) for o in tiny_model.predict_batch(imgs)]
+    assert got[0].shape == want[0].shape
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
+def test_export_custom_thresholds(tiny_model, tmp_path):
+    path = str(tmp_path / "det_lo.shlo")
+    serving.export_detector(tiny_model, path, batch_size=1,
+                            score_threshold=0.05)
+    detect = serving.load_detector(path)
+    imgs = np.random.default_rng(1).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32)
+    boxes, scores, classes, valid = [np.asarray(o) for o in detect(imgs)]
+    # Random-init scores sit ~0.25: the 0.05-threshold export must fire.
+    assert int(valid[0]) > 0

@@ -235,6 +235,37 @@ def test_cosine_annealing_schedule_values():
     assert float(sched(50)) == pytest.approx(1e-3)
 
 
+def test_fused_adam_matches_optax(rng):
+    """fused_adam (flat-vector moments) is numerically identical to
+    optax.adam over a multi-step trajectory, including with a schedule."""
+    import optax
+
+    from yolov4tpu.train import fused_adam
+
+    params = {"w": jnp.asarray(rng.normal(0, 1, (67, 9)), jnp.float32),
+              "nest": [jnp.asarray(rng.normal(0, 1, (3,)), jnp.float32),
+                       {"g": jnp.asarray(rng.normal(0, 1, (4, 2, 5)),
+                                         jnp.float32)}]}
+    sched = lambda step: 1e-3 / (1.0 + 0.1 * step)  # noqa: E731
+
+    for lr in (1e-3, sched):
+        ref_opt, new_opt = optax.adam(lr), fused_adam(lr)
+        p_ref = p_new = params
+        s_ref, s_new = ref_opt.init(params), new_opt.init(params)
+        for i in range(5):
+            g = jax.tree.map(
+                lambda x: jnp.asarray(
+                    np.random.default_rng(i).normal(0, 0.1, x.shape),
+                    jnp.float32), params)
+            u_ref, s_ref = ref_opt.update(g, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            u_new, s_new = new_opt.update(g, s_new, p_new)
+            p_new = optax.apply_updates(p_new, u_new)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 def test_trainer_fit_smoke(tmp_path, rng, setup):
     """Trainer.fit over a real DataGenerator directory (2 imgs, 1 epoch)."""
     import cv2

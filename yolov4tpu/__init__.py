@@ -15,4 +15,9 @@ def __getattr__(name):
     if name == "Yolov4":
         from .api import Yolov4
         return Yolov4
+    if name == "serving":
+        # importlib, NOT `from . import serving`: the latter resolves the
+        # name via getattr on this package and would re-enter __getattr__.
+        import importlib
+        return importlib.import_module(".serving", __name__)
     raise AttributeError(name)

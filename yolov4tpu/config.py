@@ -48,6 +48,14 @@ class YoloConfig:
     # weight update.  0 disables.
     sat_epsilon: float = 0.0
 
+    # Flat-vector Adam (train.fused_adam): one raveled moment buffer instead
+    # of ~330 leaf-wise kernels.  2x faster as a standalone update, but OFF
+    # by default: inside the full train step the ravel is a barrier that
+    # stops the update overlapping the backward pass tail, a net loss
+    # (measured 36.5 -> 43 ms/step at 416^2 b8; see benchmarks/PERF_NOTES.md).
+    # Useful where the update runs alone (e.g. gradient-accumulation reduce).
+    fused_optimizer: bool = False
+
     # Aspect-preserving letterbox resize (gray padding) instead of the
     # reference's stretch resize (reference utils.py:195).  Off by default
     # for parity; affects training pipeline, inference and eval export alike.
