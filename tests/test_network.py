@@ -150,6 +150,19 @@ def test_fold_bn_equivalence():
                                    atol=2e-4, rtol=1e-4)
 
 
+def test_s2d_stem_exact():
+    """Space-to-depth stem == plain stem (exact reparametrisation,
+    network._s2d_stem_kernels)."""
+    params, state, _ = network.init(3, img_size=64, seed=1)
+    folded = network.fold_bn(params, state)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    plain = network.apply_folded(folded, x, num_classes=3, s2d_stem=False)
+    s2d = network.apply_folded(folded, x, num_classes=3, s2d_stem=True)
+    for r, g in zip(plain, s2d):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_upsample_nearest():
     params, state, _ = network.init(3, img_size=32)
     ops = network._ApplyOps(params, state, train=False)

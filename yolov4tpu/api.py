@@ -113,14 +113,16 @@ class Yolov4:
         def raw_fn(folded, images):
             return network.apply_folded(folded, images, num_classes,
                                         self._compute_dtype,
-                                        csp_repeats=cfg.csp_repeats)
+                                        csp_repeats=cfg.csp_repeats,
+                                        s2d_stem=cfg.s2d_stem)
 
         @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
                            **jit_kw)
         def infer_fn(folded, images, iou_t, score_t):
             raws = network.apply_folded(folded, images, num_classes,
                                         self._compute_dtype,
-                                        csp_repeats=cfg.csp_repeats)
+                                        csp_repeats=cfg.csp_repeats,
+                                        s2d_stem=cfg.s2d_stem)
             interpret = jax.default_backend() != "tpu"
             if cfg.nms_impl == "fast":
                 # Fused path: candidate reduction straight from raw logits;

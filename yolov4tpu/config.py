@@ -61,6 +61,12 @@ class YoloConfig:
     # for parity; affects training pipeline, inference and eval export alike.
     letterbox: bool = False
 
+    # Space-to-depth stem for BN-folded inference: runs the two stem convs
+    # (3->32, 32->64 downsample) as dense block-space convs — exact
+    # reparametrisation; ~6% faster small-batch latency, neutral at batch
+    # 128 (network._s2d_stem_kernels).
+    s2d_stem: bool = True
+
     # --- Inference (reference config.py:14-16) ---
     max_boxes: int = 100
     iou_threshold: float = 0.413
