@@ -70,6 +70,31 @@ def test_predict_from_path_and_raw(model, tmp_path, rng):
     assert "score" in df2.columns
 
 
+def test_predict_paths_streaming(model, tmp_path, rng):
+    """predict_paths yields (path, DataFrame) in input order with host
+    decode overlapped via the threaded producer."""
+    import cv2
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(p, rng.uniform(0, 255, (80, 120, 3)).astype(np.uint8))
+        paths.append(p)
+    results = list(model.predict_paths(paths, bs=2, score_threshold=0.01))
+    assert [p for p, _ in results] == paths
+    for _, df in results:
+        assert list(df.columns) == ["x1", "y1", "x2", "y2", "class_name",
+                                    "score", "w", "h"]
+    # Per-image results agree with the one-at-a-time path (same
+    # preprocessing): every detection the default-threshold (0.3) solo path
+    # finds must appear in the lower-threshold (0.01) streamed results.
+    solo = model.predict_img(cv2.imread(paths[0])[:, :, ::-1],
+                             plot_img=False)
+    stream_rows = {tuple(r) for r in
+                   results[0][1][["x1", "y1", "x2", "y2"]].values.tolist()}
+    for row in solo[["x1", "y1", "x2", "y2"]].values.tolist():
+        assert tuple(row) in stream_rows
+
+
 def test_save_load_roundtrip(model, tmp_path):
     p = str(tmp_path / "ckpt.npz")
     model.save_model(p)

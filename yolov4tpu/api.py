@@ -225,6 +225,49 @@ class Yolov4:
         return self._infer_fn(self._folded, jnp.asarray(imgs, jnp.float32),
                               iou_t, score_t)
 
+    def predict_paths(self, img_paths, bs: int = 8,
+                      iou_threshold: Optional[float] = None,
+                      score_threshold: Optional[float] = None):
+        """Streaming batched inference over image files.
+
+        Yields ``(path, detections_DataFrame)`` per image, in order.  Host
+        decode/resize of the next batch overlaps device inference of the
+        current one (utils.stream.threaded_map), so large folders run at
+        max(host, device) throughput — the pipeline the reference lacked
+        (its predict() was one blocking host->device->host trip per image,
+        reference models.py:109-127).
+        """
+        import cv2
+
+        from .utils.stream import threaded_map
+
+        img_paths = list(img_paths)
+        h, w = self.img_size[:2]
+
+        def load(paths):
+            imgs = np.zeros((bs, h, w, 3), np.float32)
+            raws, transforms = [], []
+            for j, p in enumerate(paths):
+                raw = cv2.imread(p)
+                if raw is None:
+                    raise FileNotFoundError(p)
+                raw = raw[:, :, ::-1]
+                imgs[j], t = self._preprocess_with_transform(raw)
+                raws.append(raw)
+                transforms.append(t)
+            return paths, imgs, raws, transforms
+
+        chunks = [img_paths[s:s + bs] for s in range(0, len(img_paths), bs)]
+        for paths, imgs, raws, transforms in threaded_map(load, chunks):
+            outs = [np.asarray(o) for o in self.predict_batch(
+                imgs, iou_threshold, score_threshold)]
+            for k, path in enumerate(paths):
+                row = [o[k:k + 1] for o in outs]
+                yield path, get_detection_data(
+                    img=raws[k], model_outputs=row,
+                    class_names=self.class_names,
+                    letterbox_transform=transforms[k])
+
     def predict_img(self, raw_img, random_color=True, plot_img=True,
                     figsize=(10, 10), show_text=True, return_output=False):
         """Single-image inference + drawing (reference models.py:109-123)."""

@@ -96,9 +96,8 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                      for l in file if l.strip()]
 
     h, w = target_img_size
-    rng = range(0, len(img_paths), bs)
-    for start in (tqdm(rng) if verbose else rng):
-        paths = img_paths[start:start + bs]
+
+    def load_batch(paths):
         imgs = np.zeros((len(paths), h, w, 3), np.float32)
         raw_shapes = []
         transforms = []
@@ -115,9 +114,24 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
             else:
                 imgs[j] = cv2.resize(img, (w, h)).astype(np.float32) / 255.0
                 transforms.append(None)
-
         if len(paths) < bs:  # keep the jitted shape static
             imgs = np.pad(imgs, ((0, bs - len(paths)), (0, 0), (0, 0), (0, 0)))
+        return paths, imgs, raw_shapes, transforms
+
+    # Host decode runs in a producer thread two batches deep, so cv2
+    # imread/resize of batch N+1 overlaps the (async-dispatched) device
+    # inference of batch N — the export becomes max(host, device) instead of
+    # host + device per batch.
+    from .utils.stream import threaded_map
+
+    batch_starts = range(0, len(img_paths), bs)
+    batches = threaded_map(
+        lambda start: load_batch(img_paths[start:start + bs]), batch_starts)
+
+    progress = tqdm(total=len(batch_starts)) if verbose else None
+    for paths, imgs, raw_shapes, transforms in batches:
+        if progress is not None:
+            progress.update(1)
         b_boxes, b_scores, b_classes, b_valid = [
             np.asarray(o) for o in predict_batch_fn(imgs)]
 
@@ -141,6 +155,8 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                     b = boxes[i]
                     f.write(f"{names[i]} {b_scores[k, i]} "
                             f"{b[0]} {b[1]} {b[2]} {b[3]}\n")
+    if progress is not None:
+        progress.close()
 
 
 def eval_map(gt_folder_path: str, pred_folder_path: str,
