@@ -102,6 +102,41 @@ def test_cutmix2(dataset, rng):
     assert boxes[:, 0].min() >= 0 and boxes[:, 2].max() <= 64
 
 
+def test_random_hflip(rng):
+    from yolov4tpu.data.pipeline import random_hflip
+    img = np.zeros((10, 20, 3), np.float32)
+    img[:, :5] = 1.0  # bright left edge
+    boxes = np.array([[2, 1, 6, 9, 0]], np.float32)
+    out, b = random_hflip(img, boxes, rng, prob=1.0)
+    assert np.allclose(out[:, -5:], 1.0) and np.allclose(out[:, :5], 0.0)
+    np.testing.assert_allclose(b[0, :4], [20 - 6, 1, 20 - 2, 9])
+    assert b[0, 4] == 0
+    # prob=0 is the identity
+    out2, b2 = random_hflip(img, boxes, rng, prob=0.0)
+    np.testing.assert_array_equal(out2, img)
+    np.testing.assert_array_equal(b2, boxes)
+
+
+def test_random_color_jitter(rng):
+    from yolov4tpu.data.pipeline import random_color_jitter
+    img = rng.uniform(0.2, 0.8, (16, 16, 3)).astype(np.float32)
+    out = random_color_jitter(img, rng)
+    assert out.shape == img.shape and out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    assert not np.allclose(out, img)  # something actually changed
+
+
+def test_generator_hflip_jitter_batches(dataset):
+    cfg = YoloConfig(img_size=(64, 64, 3), batch_size=2, use_hflip=True,
+                     use_color_jitter=True)
+    gen = DataGenerator(dataset["lines"], dataset["classes"],
+                        dataset["img_dir"], config=cfg, seed=0)
+    b = gen.get_batch(0)
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert all(np.isfinite(l).all() for l in b["labels"])
+    assert b["boxes"].max() <= 64.0
+
+
 def test_generator_cutmix_batches(dataset):
     gen = DataGenerator(dataset["lines"], dataset["classes"],
                         dataset["img_dir"], config=CFG, cutmix=True, seed=0)

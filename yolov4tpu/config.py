@@ -43,6 +43,11 @@ class YoloConfig:
     label_smoothing: float = 0.0
     use_mosaic: bool = False
     use_cutmix: bool = False
+    # Darknet-style geometric/photometric train-time augmentation (the
+    # reference implemented none): random horizontal flip with box remap,
+    # HSV hue/saturation/exposure jitter.
+    use_hflip: bool = False
+    use_color_jitter: bool = False
     # Self-adversarial training (reference README.md TODO): FGSM image
     # perturbation of strength sat_epsilon (in [0,1] pixel units) before the
     # weight update.  0 disables.

@@ -86,6 +86,46 @@ def load_and_resize(img_path: str, target_hw, boxes: np.ndarray,
     return img, boxes
 
 
+def random_hflip(img: np.ndarray, boxes: np.ndarray,
+                 rng: np.random.Generator, prob: float = 0.5):
+    """Horizontal flip with box remap (darknet-style train-time aug; the
+    reference had no geometric augmentation at all, reference
+    utils.py:187-207)."""
+    if rng.uniform() >= prob:
+        return img, boxes
+    w = img.shape[1]
+    img = img[:, ::-1].copy()
+    if len(boxes):
+        boxes = boxes.astype(np.float32).copy()
+        x1 = boxes[:, 0].copy()
+        boxes[:, 0] = w - boxes[:, 2]
+        boxes[:, 2] = w - x1
+    return img, boxes
+
+
+def random_color_jitter(img: np.ndarray, rng: np.random.Generator,
+                        hue: float = 0.1, sat: float = 0.5, val: float = 0.5):
+    """HSV jitter on a float RGB [0,1] image (darknet's hue/sat/exposure).
+
+    Factors are drawn like darknet: sat/val scale in [1/(1+s), 1+s], hue
+    shift uniform in [-h, h] turns.
+    """
+    import cv2
+
+    h = rng.uniform(-hue, hue)
+    def scale(s):
+        f = 1 + rng.uniform(0, s)
+        return f if rng.uniform() < 0.5 else 1.0 / f
+    fs, fv = scale(sat), scale(val)
+    hsv = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
+    hsv = hsv.astype(np.float32)
+    hsv[..., 0] = (hsv[..., 0] + h * 180.0) % 180.0
+    hsv[..., 1] = np.clip(hsv[..., 1] * fs, 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] * fv, 0, 255)
+    out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+    return out.astype(np.float32) / 255.0
+
+
 def mosaic4(samples, target_hw, rng: np.random.Generator):
     """Mosaic augmentation: 4 (img, boxes) -> one mosaic (img, boxes).
 
@@ -228,6 +268,10 @@ class DataGenerator:
             other = self._load_line(self.annotation_lines[
                 int(self.rng.integers(0, len(self.annotation_lines)))])
             img, boxes = cutmix2((img, boxes), other, self.rng)
+        if self.config.use_hflip:
+            img, boxes = random_hflip(img, boxes, self.rng)
+        if self.config.use_color_jitter:
+            img = random_color_jitter(img, self.rng)
         box_data = np.zeros((self.max_boxes, 5), np.float32)
         if len(boxes):
             perm = self.rng.permutation(len(boxes))
@@ -269,7 +313,8 @@ class DataGenerator:
         idxs = self.indexes[index * self.batch_size:(index + 1) * self.batch_size]
         lines = [self.annotation_lines[i] for i in idxs]
         if (self.use_native and not self.mosaic and not self.cutmix
-                and not self.config.letterbox):
+                and not self.config.letterbox and not self.config.use_hflip
+                and not self.config.use_color_jitter):
             return self._get_batch_native(lines)
         n = len(lines)
         X = np.empty((n, *self.target_img_size), np.float32)
