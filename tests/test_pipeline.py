@@ -137,6 +137,56 @@ def test_generator_hflip_jitter_batches(dataset):
     assert b["boxes"].max() <= 64.0
 
 
+def test_generator_multi_scale(dataset):
+    """multi_scale re-draws the square train size every interval batches;
+    label grids and boxes track the drawn size."""
+    cfg = YoloConfig(img_size=(64, 64, 3), batch_size=2,
+                     multi_scale=(32, 96), multi_scale_interval=1)
+    gen = DataGenerator(dataset["lines"], dataset["classes"],
+                        dataset["img_dir"], config=cfg, seed=3)
+    sizes = set()
+    for i in range(len(gen)):
+        b = gen.get_batch(i)
+        s = b["image"].shape[1]
+        assert s in (32, 64, 96) and b["image"].shape[2] == s
+        assert b["labels"][0].shape[1] == s // 8
+        assert b["labels"][2].shape[1] == s // 32
+        assert b["boxes"].max() <= s
+        sizes.add(s)
+    # Over several epochs, more than one size must actually be drawn.
+    for e in range(4):
+        gen.on_epoch_end()
+        for i in range(len(gen)):
+            sizes.add(gen.get_batch(i)["image"].shape[1])
+    assert len(sizes) > 1
+
+
+def test_train_step_handles_multiple_sizes():
+    """The jitted train step retraces per input size (multi-scale
+    training's device side)."""
+    import jax.numpy as jnp
+
+    from yolov4tpu.data.encode import preprocess_true_boxes
+    from yolov4tpu.models import network
+    from yolov4tpu.train import make_optimizer, make_train_step
+
+    cfg = YoloConfig(img_size=(64, 64, 3), csp_repeats=(1, 1, 1, 1, 1))
+    params, state, _ = network.init(2, img_size=64, seed=0,
+                                    csp_repeats=cfg.csp_repeats)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(2, cfg, opt, donate=False)
+    for s in (32, 64):
+        boxes = np.zeros((1, 100, 5), np.float32)
+        boxes[0, 0] = [4, 4, s - 4, s - 4, 1]
+        labels, xywh = preprocess_true_boxes(boxes, (s, s), cfg.anchors_flat, 2)
+        batch = {"image": jnp.zeros((1, s, s, 3), jnp.float32),
+                 "labels": [jnp.asarray(l) for l in labels],
+                 "boxes": jnp.asarray(xywh)}
+        params, state, opt_state, m = step(params, state, opt_state, batch)
+        assert np.isfinite(float(m["loss"]))
+
+
 def test_generator_cutmix_batches(dataset):
     gen = DataGenerator(dataset["lines"], dataset["classes"],
                         dataset["img_dir"], config=CFG, cutmix=True, seed=0)

@@ -12,7 +12,7 @@ Default values reproduce reference config.py:1-17 exactly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -48,6 +48,15 @@ class YoloConfig:
     # HSV hue/saturation/exposure jitter.
     use_hflip: bool = False
     use_color_jitter: bool = False
+
+    # Multi-scale training (darknet's random-resize schedule): every
+    # multi_scale_interval batches the DataGenerator picks a square size
+    # uniformly from [lo, hi] in steps of 32 (e.g. (320, 608)).  The jitted
+    # train step retraces per distinct size (compile cache keeps it cheap).
+    # The reference hard-coded its 52/26/13 label grids (models.py:56-58),
+    # making this impossible there.  None disables.
+    multi_scale: Optional[Tuple[int, int]] = None
+    multi_scale_interval: int = 10
     # Self-adversarial training (reference README.md TODO): FGSM image
     # perturbation of strength sat_epsilon (in [0,1] pixel units) before the
     # weight update.  0 disables.

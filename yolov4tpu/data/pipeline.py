@@ -225,6 +225,12 @@ class DataGenerator:
         self.config = config
         self.batch_size = config.batch_size * config.num_devices
         self.target_img_size = config.img_size
+        self._ms_counter = 0
+        if config.multi_scale is not None:
+            lo, hi = config.multi_scale
+            assert lo % 32 == 0 and hi % 32 == 0 and lo <= hi, (
+                "multi_scale bounds must be multiples of 32 (stride contract,"
+                " reference models.py:23-24)")
         self.anchors = config.anchors_flat
         self.shuffle = shuffle
         self.folder_path = folder_path
@@ -310,6 +316,16 @@ class DataGenerator:
         return {"image": X, "labels": y_tensor, "boxes": y_true_boxes_xywh}
 
     def get_batch(self, index: int) -> dict:
+        if self.config.multi_scale is not None:
+            # Darknet-style multi-scale: re-draw a square size every
+            # interval batches; everything downstream (resize, letterbox,
+            # mosaic, native encode, label grids) keys off target_img_size.
+            if self._ms_counter % max(1, self.config.multi_scale_interval) == 0:
+                lo, hi = self.config.multi_scale
+                sizes = np.arange(lo, hi + 1, 32)
+                s = int(sizes[self.rng.integers(0, len(sizes))])
+                self.target_img_size = (s, s, self.config.img_size[2])
+            self._ms_counter += 1
         idxs = self.indexes[index * self.batch_size:(index + 1) * self.batch_size]
         lines = [self.annotation_lines[i] for i in idxs]
         if (self.use_native and not self.mosaic and not self.cutmix
