@@ -53,6 +53,35 @@ def test_get_detection_data_letterbox_unmap():
     assert abs(df.iloc[0].y1 - 0) <= 2 and abs(df.iloc[0].y2 - 100) <= 2
 
 
+def test_letterbox_pads_stay_gray_under_jitter(tmp_path, rng):
+    """Color jitter runs on the raw image BEFORE padding, so the letterbox
+    bars remain the exact 0.5 gray that inference uses."""
+    import cv2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = rng.uniform(0, 255, (100, 200, 3)).astype(np.uint8)  # wide
+    cv2.imwrite(str(img_dir / "im0.jpg"), img)
+    classes = tmp_path / "classes.txt"
+    classes.write_text("a\n")
+    cfg = YoloConfig(img_size=(64, 64, 3), batch_size=1, letterbox=True,
+                     use_color_jitter=True)
+    gen = DataGenerator(["im0.jpg 10,10,180,90,0\n"], str(classes),
+                        str(img_dir), config=cfg, seed=0)
+    b = gen.get_batch(0)
+    assert np.allclose(b["image"][:, 0], 0.5)   # top bar untouched
+    assert np.allclose(b["image"][:, -1], 0.5)  # bottom bar untouched
+
+
+def test_letterbox_unmap_roundtrip():
+    from yolov4tpu.data.pipeline import letterbox_resize, letterbox_unmap
+    raw = np.zeros((100, 200, 3), np.uint8)
+    boxes = np.array([[20, 10, 180, 90, 0]], np.float32)
+    _, mapped, t = letterbox_resize(raw, (64, 64), boxes)
+    norm = mapped[:, :4] / 64.0
+    back = letterbox_unmap(norm, t, (64, 64), (100, 200))
+    np.testing.assert_allclose(back, boxes[:, :4], atol=2)
+
+
 def test_generator_letterbox_batches(tmp_path, rng):
     import cv2
     img_dir = tmp_path / "imgs"

@@ -35,6 +35,36 @@ def test_export_load_round_trip(tiny_model, tmp_path):
         np.testing.assert_allclose(g, w, atol=1e-5)
 
 
+def test_export_multiplatform_requires_xla_nms(tiny_model, tmp_path):
+    """Pallas NMS variants are single-platform; the export guard catches a
+    mixed-platform request before tracing."""
+    import dataclasses
+
+    fast_cfg = dataclasses.replace(tiny_model.config, nms_impl="fast")
+    object.__setattr__(tiny_model, "config", fast_cfg)
+    try:
+        with pytest.raises(ValueError, match="multi-platform"):
+            serving.export_detector(tiny_model, str(tmp_path / "x.shlo"),
+                                    platforms=("tpu", "cpu"))
+    finally:
+        object.__setattr__(
+            tiny_model, "config",
+            dataclasses.replace(fast_cfg, nms_impl="xla"))
+
+
+def test_export_multiplatform_xla(tiny_model, tmp_path):
+    """nms_impl='xla' exports one artifact lowered for both tpu and cpu;
+    the cpu variant runs here."""
+    path = str(tmp_path / "multi.shlo")
+    serving.export_detector(tiny_model, path, batch_size=1,
+                            platforms=("tpu", "cpu"))
+    detect = serving.load_detector(path)
+    imgs = np.random.default_rng(2).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = [np.asarray(o) for o in detect(imgs)]
+    assert out[0].shape[0] == 1
+
+
 def test_export_custom_thresholds(tiny_model, tmp_path):
     path = str(tmp_path / "det_lo.shlo")
     serving.export_detector(tiny_model, path, batch_size=1,

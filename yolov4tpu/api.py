@@ -33,6 +33,58 @@ from .ops.nms import combined_nms
 from .utils.visualize import draw_bbox, get_detection_data
 
 
+def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
+                   interpret: Optional[bool] = None, jit_kw: Optional[dict] = None):
+    """Jitted end-to-end inference fn: (folded, images, iou_t, score_t) ->
+    (boxes, scores, classes, valid_detections).
+
+    interpret: Pallas interpret-mode override for the NMS kernels.  None
+    (the live-session default) picks by the CURRENT backend at trace time;
+    pass an explicit value when tracing for a DIFFERENT target than the
+    session backend — e.g. serving.export_detector exporting a TPU artifact
+    from a CPU host (interpret=False) or a CPU artifact from a TPU host
+    (interpret=True).
+    """
+    anchors = cfg.anchors_grouped
+    strides, xyscale, img_size = cfg.strides, cfg.xyscale, cfg.img_size
+
+    @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
+                       **(jit_kw or {}))
+    def infer_fn(folded, images, iou_t, score_t):
+        raws = network.apply_folded(folded, images, num_classes,
+                                    compute_dtype,
+                                    csp_repeats=cfg.csp_repeats,
+                                    s2d_stem=cfg.s2d_stem)
+        interp = (jax.default_backend() != "tpu" if interpret is None
+                  else interpret)
+        if cfg.nms_impl == "fast":
+            # Fused path: candidate reduction straight from raw logits;
+            # boxes/class-scores decoded for the top-K candidates only.
+            from .ops.detect import detect_fused
+            return detect_fused(
+                raws, anchors, num_classes, strides,
+                xyscale, img_size[0], iou_threshold=iou_t,
+                score_threshold=score_t, max_per_class=cfg.max_boxes,
+                max_total=cfg.max_boxes, candidates=cfg.nms_pre_top_k,
+                interpret=interp)
+        outs = head.decode_head(raws, anchors, num_classes, strides, xyscale)
+        boxes, scores = head.flatten_boxes_scores(
+            outs, img_size[0], num_classes)
+        if cfg.nms_impl == "pallas":
+            from .ops.nms_pallas import combined_nms_pallas
+            return combined_nms_pallas(
+                boxes, scores, iou_threshold=iou_t,
+                score_threshold=score_t, max_per_class=cfg.max_boxes,
+                max_total=cfg.max_boxes, pre_top_k=cfg.nms_pre_top_k,
+                interpret=interp)
+        return combined_nms(
+            boxes, scores, iou_threshold=iou_t, score_threshold=score_t,
+            max_per_class=cfg.max_boxes, max_total=cfg.max_boxes,
+            pre_top_k=cfg.nms_pre_top_k)
+
+    return infer_fn
+
+
 class Yolov4:
     """YOLOv4 detector with a reference-compatible API surface."""
 
@@ -116,42 +168,9 @@ class Yolov4:
                                         csp_repeats=cfg.csp_repeats,
                                         s2d_stem=cfg.s2d_stem)
 
-        @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
-                           **jit_kw)
-        def infer_fn(folded, images, iou_t, score_t):
-            raws = network.apply_folded(folded, images, num_classes,
-                                        self._compute_dtype,
-                                        csp_repeats=cfg.csp_repeats,
-                                        s2d_stem=cfg.s2d_stem)
-            interpret = jax.default_backend() != "tpu"
-            if cfg.nms_impl == "fast":
-                # Fused path: candidate reduction straight from raw logits;
-                # boxes/class-scores decoded for the top-K candidates only.
-                from .ops.detect import detect_fused
-                return detect_fused(
-                    raws, self.anchors, num_classes, self.strides,
-                    self.xyscale, self.img_size[0], iou_threshold=iou_t,
-                    score_threshold=score_t, max_per_class=cfg.max_boxes,
-                    max_total=cfg.max_boxes, candidates=cfg.nms_pre_top_k,
-                    interpret=interpret)
-            outs = head.decode_head(raws, self.anchors, num_classes,
-                                    self.strides, self.xyscale)
-            boxes, scores = head.flatten_boxes_scores(
-                outs, self.img_size[0], num_classes)
-            if cfg.nms_impl == "pallas":
-                from .ops.nms_pallas import combined_nms_pallas
-                return combined_nms_pallas(
-                    boxes, scores, iou_threshold=iou_t,
-                    score_threshold=score_t, max_per_class=cfg.max_boxes,
-                    max_total=cfg.max_boxes, pre_top_k=cfg.nms_pre_top_k,
-                    interpret=interpret)
-            return combined_nms(
-                boxes, scores, iou_threshold=iou_t, score_threshold=score_t,
-                max_per_class=cfg.max_boxes, max_total=cfg.max_boxes,
-                pre_top_k=cfg.nms_pre_top_k)
-
         self._raw_fn = raw_fn
-        self._infer_fn = infer_fn
+        self._infer_fn = build_infer_fn(cfg, num_classes,
+                                        self._compute_dtype, jit_kw=jit_kw)
 
     def distribute(self, num_devices: Optional[int] = None):
         """Shard batched inference across a data-parallel device mesh.
@@ -212,7 +231,9 @@ class Yolov4:
                 np.asarray(img), self.img_size[:2],
                 np.zeros((0, 5), np.float32))
             return out, (t, self.img_size[:2])
-        return cv2.resize(np.asarray(img), self.img_size[:2]) / 255.0, None
+        # cv2.resize takes dsize as (width, height); img_size is (h, w, c).
+        h, w = self.img_size[:2]
+        return cv2.resize(np.asarray(img), (w, h)) / 255.0, None
 
     def predict_batch(self, imgs: np.ndarray,
                       iou_threshold: Optional[float] = None,

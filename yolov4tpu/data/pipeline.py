@@ -60,12 +60,32 @@ def letterbox_resize(img: np.ndarray, target_hw, boxes: np.ndarray):
     return canvas, boxes, (s, dx, dy)
 
 
+def letterbox_unmap(boxes_norm: np.ndarray, transform, model_hw, raw_hw):
+    """Normalised model-space corner boxes -> raw-image pixel coordinates.
+
+    transform: the (scale, dx, dy) from letterbox_transform/letterbox_resize.
+    Single source of truth for the inverse mapping (used by inference
+    postprocess and the mAP export alike).
+    """
+    s, dx, dy = transform
+    mh, mw = model_hw
+    rh, rw = raw_hw
+    out = np.asarray(boxes_norm, np.float32).copy()
+    out[..., [0, 2]] = np.clip((out[..., [0, 2]] * mw - dx) / s, 0, rw)
+    out[..., [1, 3]] = np.clip((out[..., [1, 3]] * mh - dy) / s, 0, rh)
+    return out
+
+
 def load_and_resize(img_path: str, target_hw, boxes: np.ndarray,
-                    letterbox: bool = False):
+                    letterbox: bool = False, color_jitter_rng=None):
     """cv2 read (BGR->RGB) + resize + box rescale (reference utils.py:187-204).
 
     Default is the reference's stretch (non-letterbox) resize; with
     ``letterbox=True`` the aspect ratio is preserved with gray padding.
+    color_jitter_rng: when set, HSV jitter is applied to the RAW image
+    before any resize/padding — so letterbox bars stay exactly gray (the
+    constant inference uses) and mosaic tiles jitter independently, like
+    darknet.
     """
     import cv2
 
@@ -73,6 +93,9 @@ def load_and_resize(img_path: str, target_hw, boxes: np.ndarray,
     if img is None:
         raise FileNotFoundError(img_path)
     img = img[:, :, ::-1]
+    if color_jitter_rng is not None:
+        img = (random_color_jitter(
+            img.astype(np.float32) / 255.0, color_jitter_rng) * 255.0)
     if letterbox:
         img, boxes, _ = letterbox_resize(img, target_hw, boxes)
         return img, boxes
@@ -259,8 +282,11 @@ class DataGenerator:
         img_path = os.path.join(self.folder_path, parts[0])
         boxes = np.array([[float(v) for v in b.split(",")] for b in parts[1:]],
                          dtype=np.float32).reshape(-1, 5)
-        return load_and_resize(img_path, self.target_img_size[:2], boxes,
-                               letterbox=self.config.letterbox)
+        return load_and_resize(
+            img_path, self.target_img_size[:2], boxes,
+            letterbox=self.config.letterbox,
+            color_jitter_rng=(self.rng if self.config.use_color_jitter
+                              else None))
 
     def get_data(self, annotation_line: str):
         """(img float32 HWC /255, box_data (max_boxes,5)) for one line."""
@@ -274,10 +300,11 @@ class DataGenerator:
             other = self._load_line(self.annotation_lines[
                 int(self.rng.integers(0, len(self.annotation_lines)))])
             img, boxes = cutmix2((img, boxes), other, self.rng)
+        # Color jitter already ran per-sample on the RAW images inside
+        # _load_line (before resize/padding/mosaic); only the geometric flip
+        # applies to the composite here.
         if self.config.use_hflip:
             img, boxes = random_hflip(img, boxes, self.rng)
-        if self.config.use_color_jitter:
-            img = random_color_jitter(img, self.rng)
         box_data = np.zeros((self.max_boxes, 5), np.float32)
         if len(boxes):
             perm = self.rng.permutation(len(boxes))

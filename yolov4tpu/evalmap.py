@@ -105,6 +105,14 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
             img = cv2.imread(path)
             if img is None:
                 raise FileNotFoundError(path)
+            # BGR -> RGB, consistent with the training pipeline and the
+            # predict()/predict_paths inference paths.  NOTE: the reference's
+            # export_prediction skips this conversion (models.py:152-156 feed
+            # cv2's BGR straight to preprocess_img) even though its predict()
+            # converts — i.e. it evaluates a different input distribution
+            # than it serves.  That inconsistency is a bug, not a behavior to
+            # keep: mAP here measures the same pipeline predict() runs.
+            img = img[:, :, ::-1]
             raw_shapes.append(img.shape)
             if letterbox:
                 from .data.pipeline import letterbox_resize
@@ -140,11 +148,9 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
             boxes = b_boxes[k, :n].copy()
             rh, rw = raw_shapes[k][:2]
             if transforms[k] is not None:
-                s, dx, dy = transforms[k]
-                boxes[:, [0, 2]] = np.clip((boxes[:, [0, 2]] * w - dx) / s,
-                                           0, rw)
-                boxes[:, [1, 3]] = np.clip((boxes[:, [1, 3]] * h - dy) / s,
-                                           0, rh)
+                from .data.pipeline import letterbox_unmap
+                boxes = letterbox_unmap(boxes, transforms[k], (h, w),
+                                        (rh, rw))
             else:
                 boxes[:, [0, 2]] *= rw
                 boxes[:, [1, 3]] *= rh

@@ -46,9 +46,24 @@ def export_detector(model, path: str, batch_size: int = 1,
                else float(score_threshold))
     if platforms is None:
         platforms = (jax.default_backend(),)
+    platforms = tuple(platforms)
 
+    # The Pallas NMS kernels lower differently per platform (Mosaic custom
+    # call on TPU, interpret-mode scan elsewhere), so the interpret flag must
+    # follow the artifact's TARGET platform, not the exporting host's
+    # backend.  A mixed-platform export therefore cannot embed either form —
+    # it needs the pure-XLA NMS.
+    if cfg.nms_impl in ("fast", "pallas") and len(platforms) > 1:
+        raise ValueError(
+            "multi-platform export requires nms_impl='xla' (the Pallas NMS "
+            f"kernel is single-platform); got nms_impl={cfg.nms_impl!r} "
+            f"for platforms={platforms}")
+    interpret = platforms != ("tpu",)
+
+    from .api import build_infer_fn
     folded = model._folded
-    infer_fn = model._infer_fn
+    infer_fn = build_infer_fn(cfg, model.num_classes, model._compute_dtype,
+                              interpret=interpret)
 
     def fn(images):
         return infer_fn(folded, images, iou_t, score_t)

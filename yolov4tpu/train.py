@@ -90,9 +90,9 @@ def fused_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
 def make_optimizer(config: YoloConfig, schedule=None) -> optax.GradientTransformation:
     """Adam at the reference's lr (models.py:83), optionally scheduled.
 
-    ``config.fused_optimizer`` (default on) selects the flat-vector
-    :func:`fused_adam`; set it False for the leaf-wise optax.adam (identical
-    numerics, different opt_state structure)."""
+    ``config.fused_optimizer`` (default OFF — see fused_adam's caveat)
+    selects the flat-vector :func:`fused_adam`; the default is leaf-wise
+    optax.adam (identical numerics, different opt_state structure)."""
     lr = schedule if schedule is not None else config.learning_rate
     if config.fused_optimizer:
         return fused_adam(lr)

@@ -24,14 +24,14 @@ def get_detection_data(img, model_outputs, class_names,
                               for o in model_outputs[:-1]]
 
     h, w = img.shape[:2]
-    df = pd.DataFrame(boxes, columns=["x1", "y1", "x2", "y2"])
     if letterbox_transform is not None:
-        (s, dx, dy), (mh, mw) = letterbox_transform
-        df[["x1", "x2"]] = (np.clip((df[["x1", "x2"]] * mw - dx) / s, 0, w)
-                            ).astype("int64")
-        df[["y1", "y2"]] = (np.clip((df[["y1", "y2"]] * mh - dy) / s, 0, h)
-                            ).astype("int64")
+        from ..data.pipeline import letterbox_unmap
+        transform, model_hw = letterbox_transform
+        boxes = letterbox_unmap(boxes, transform, model_hw, (h, w))
+        df = pd.DataFrame(boxes.astype("int64"),
+                          columns=["x1", "y1", "x2", "y2"])
     else:
+        df = pd.DataFrame(boxes, columns=["x1", "y1", "x2", "y2"])
         df[["x1", "x2"]] = (df[["x1", "x2"]] * w).astype("int64")
         df[["y1", "y2"]] = (df[["y1", "y2"]] * h).astype("int64")
     df["class_name"] = np.array(class_names)[classes.astype("int64")]
