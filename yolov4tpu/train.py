@@ -421,22 +421,25 @@ class Trainer:
 
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
-            n, loss_sum = 0, 0.0
+            # Losses stay on device until a log point / epoch end: float()
+            # every step would block the host on each step's completion and
+            # stop step N+1's dispatch from overlapping step N's compute.
+            n, losses = 0, []
             for batch in prefetch(train_gen, epochs=1):
                 metrics = self.train_step(batch)
                 n += 1
-                loss_sum += float(metrics["loss"])
+                losses.append(metrics["loss"])
                 if verbose and n % log_every == 0:
                     print(f"epoch {epoch} step {n}/{len(train_gen)} "
-                          f"loss {loss_sum / n:.4f}")
+                          f"loss {float(losses[-1]):.4f}")
+            loss_sum = float(sum(float(l) for l in losses))
             entry = {"epoch": epoch, "loss": loss_sum / max(n, 1),
                      "time": time.time() - t0}
             if val_gen is not None:
-                vn, vs = 0, 0.0
-                for batch in prefetch(val_gen, epochs=1):
-                    vs += float(self.eval_step(batch))
-                    vn += 1
-                entry["val_loss"] = vs / max(vn, 1)
+                vlosses = [self.eval_step(batch)
+                           for batch in prefetch(val_gen, epochs=1)]
+                entry["val_loss"] = (sum(float(v) for v in vlosses)
+                                     / max(len(vlosses), 1))
             self.history.append(entry)
             if verbose:
                 print({k: (f"{v:.4f}" if isinstance(v, float) else v)
