@@ -165,6 +165,39 @@ def test_dp_mesh_equivalence():
     assert float(lt1) == pytest.approx(float(lt8), rel=1e-3)
 
 
+def test_mesh_grad_accum_step(rng):
+    """Mesh DP composes with gradient accumulation: batch stacked as
+    (accum, per_dev*n_dev, ...), sharded on axis 1, one scan per replica."""
+    import dataclasses
+
+    from yolov4tpu.parallel.mesh import replicate, shard_batch
+    from yolov4tpu.train import chunk_batch
+
+    cfg = YoloConfig(img_size=(32, 32, 3), batch_size=1,
+                     csp_repeats=(1, 1, 1, 1, 1), grad_accum_steps=2)
+    params, state, _ = network.init(C, img_size=32, seed=0,
+                                    csp_repeats=cfg.csp_repeats)
+    mesh = make_mesh(2)
+    opt = make_optimizer(cfg)
+    step = make_train_step(C, cfg, opt, mesh=mesh, donate=False)
+
+    bs = 4  # accum 2 x 2 devices x 1 per device
+    img = rng.uniform(0, 1, (bs, 32, 32, 3)).astype(np.float32)
+    boxes = np.zeros((bs, 100, 5), np.float32)
+    boxes[:, 0] = [4, 4, 20, 20, 0]
+    labels, xywh = preprocess_true_boxes(boxes, (32, 32), cfg.anchors_flat, C)
+    batch = chunk_batch({"image": jnp.asarray(img),
+                         "labels": [jnp.asarray(l) for l in labels],
+                         "boxes": jnp.asarray(xywh)}, 2)
+    batch = shard_batch(batch, mesh, batch_axis=1)
+    p, s, o, m = step(replicate(params, mesh), replicate(state, mesh),
+                      replicate(opt.init(params), mesh), batch)
+    assert np.isfinite(float(m["loss"]))
+    moved = float(jnp.abs(jax.tree.leaves(p)[0]
+                          - jax.tree.leaves(params)[0]).max())
+    assert moved > 0
+
+
 def test_shard_map_train_step(rng):
     """Mesh train step semantics: with the SAME sample replicated onto every
     device, the data-parallel step must equal the single-device step on one
@@ -233,6 +266,41 @@ def test_cosine_annealing_schedule_values():
     assert float(sched(25)) == pytest.approx((1e-3 + 1e-5) / 2, rel=1e-5)
     # restart at epoch 10
     assert float(sched(50)) == pytest.approx(1e-3)
+
+
+def test_grad_accum_step(rng):
+    """grad_accum_steps=2 runs, updates params, and yields gradients close
+    to the single-batch step (identical up to BN batch-stat differences:
+    accumulation computes per-micro-batch statistics)."""
+    import dataclasses
+
+    from yolov4tpu.train import chunk_batch
+
+    cfg2 = dataclasses.replace(CFG, grad_accum_steps=2)
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    batch = _synthetic_batch(np.random.default_rng(7), bs=4)
+
+    opt = make_optimizer(cfg2)
+    step2 = make_train_step(C, cfg2, opt, donate=False)
+    p2, s2, o2, m2 = step2(params, state, opt.init(params),
+                           chunk_batch(batch, 2))
+    assert np.isfinite(float(m2["loss"]))
+
+    step1 = make_train_step(C, CFG, opt, donate=False)
+    p1, s1, o1, m1 = step1(params, state, opt.init(params), batch)
+    # Same data, same params: accumulated loss (mean of 2 half-batches)
+    # tracks the full-batch loss closely.
+    assert abs(float(m2["loss"]) - float(m1["loss"])) / float(m1["loss"]) < 0.2
+    # Params moved in both.
+    d2 = float(jnp.abs(p2["convs"][0]["w"] - params["convs"][0]["w"]).max())
+    assert d2 > 0
+
+
+def test_grad_accum_chunk_validates():
+    from yolov4tpu.train import chunk_batch
+    import jax.numpy as jnp
+    with pytest.raises(AssertionError, match="not divisible"):
+        chunk_batch({"image": jnp.zeros((3, 2))}, 2)
 
 
 def test_fused_adam_matches_optax(rng):

@@ -62,6 +62,11 @@ class YoloConfig:
     # weight update.  0 disables.
     sat_epsilon: float = 0.0
 
+    # Gradient accumulation: the train step scans this many micro-batches
+    # (batch pre-chunked by train.chunk_batch), averaging gradients — an
+    # accum-times-larger effective batch at constant activation memory.
+    grad_accum_steps: int = 1
+
     # Flat-vector Adam (train.fused_adam): one raveled moment buffer instead
     # of ~330 leaf-wise kernels.  2x faster as a standalone update, but OFF
     # by default: inside the full train step the ravel is a barrier that

@@ -40,9 +40,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch pytree on the mesh, batch-dim sharded."""
-    s = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
+    """Place a host batch pytree on the mesh, sharded on ``batch_axis``
+    (axis 1 for gradient-accumulation stacks whose axis 0 is the
+    replicated micro-step axis)."""
+    spec = P(*([None] * batch_axis + ["data"]))
+    s = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -150,6 +150,60 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
     return grad_and_metrics
 
 
+def _accumulated(grad_and_metrics, accum: int, mesh_axes=()):
+    """Wrap a (params, state, batch) -> (grads, state, metrics) core so it
+    scans over ``accum`` micro-batches stacked on a leading axis.
+
+    Activations exist only for one micro-batch at a time (the scan body),
+    so the effective batch grows ``accum``-fold at constant activation
+    memory — one grads-sized buffer is the only extra cost.  Gradients and
+    metrics are averaged; BN batch statistics update sequentially through
+    the micro-batches (the same moving-average semantics sequential small
+    batches would have).
+
+    mesh_axes: shard_map axis names when the core runs per-replica.  The
+    scan carry then starts replicated but becomes device-varying after one
+    micro-step, so the initial carry must be pcast to 'varying' for the
+    carry types to match (jax's shard-map VMA typing).
+    """
+    if accum <= 1:
+        return grad_and_metrics
+
+    def accumulated(params, state, batch):
+        def body(carry, micro):
+            gsum, st = carry
+            g, new_st, m = grad_and_metrics(params, st, micro)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            return (gsum, new_st), m
+
+        # Only the BN-state half of the carry becomes device-varying (its
+        # updates come from the sharded batch); the gradient sum stays
+        # invariant (each micro-grad is already shard_map-psummed), and
+        # pcasting it too would make the optimizer update varying and break
+        # the replicated out_specs.
+        state0 = (lax.pcast(state, tuple(mesh_axes), to="varying")
+                  if mesh_axes else state)
+        init = (jax.tree.map(jnp.zeros_like, params), state0)
+        (gsum, new_state), ms = lax.scan(body, init, batch)
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+        return grads, new_state, metrics
+
+    return accumulated
+
+
+def chunk_batch(batch: dict, accum: int) -> dict:
+    """(B, ...) batch -> (accum, B/accum, ...) micro-batch stack for the
+    gradient-accumulation step.  B must divide evenly."""
+    def chunk(x):
+        b = x.shape[0]
+        assert b % accum == 0, (
+            f"batch size {b} not divisible by grad_accum_steps {accum}")
+        return x.reshape(accum, b // accum, *x.shape[1:])
+
+    return jax.tree.map(chunk, batch)
+
+
 def make_train_step(num_classes: int, config: YoloConfig,
                     optimizer: optax.GradientTransformation,
                     mesh=None, donate: bool = True):
@@ -158,8 +212,16 @@ def make_train_step(num_classes: int, config: YoloConfig,
     Returned step: (params, state, opt_state, batch) ->
     (params, state, opt_state, metrics) where batch is
     {'image': (B,H,W,3), 'labels': [3 grids], 'boxes': (B,M,4)}.
+
+    With ``config.grad_accum_steps > 1`` the batch must be pre-chunked by
+    :func:`chunk_batch` to (accum, B/accum, ...): the step scans micro-
+    batches, averaging gradients, for accum-times-larger effective batch at
+    constant activation memory.
     """
-    grad_and_metrics = _make_grad_and_metrics(num_classes, config)
+    core = _make_grad_and_metrics(num_classes, config)
+    grad_and_metrics = _accumulated(
+        core, config.grad_accum_steps,
+        mesh_axes=("data",) if mesh is not None else ())
 
     def step(params, state, opt_state, batch):
         grads, new_state, metrics = grad_and_metrics(params, state, batch)
@@ -179,8 +241,10 @@ def make_train_step(num_classes: int, config: YoloConfig,
     # collective rendezvous survives the virtual-device test rig).
     from jax.sharding import PartitionSpec as P
 
-    batch_spec = {"image": P("data"), "labels": [P("data")] * 3,
-                  "boxes": P("data")}
+    # With gradient accumulation the leading batch axis is the micro-step
+    # stack (replicated scan axis); the per-device shard axis is axis 1.
+    spec = (P(None, "data") if config.grad_accum_steps > 1 else P("data"))
+    batch_spec = {"image": spec, "labels": [spec] * 3, "boxes": spec}
 
     n_dev = mesh.devices.size
 
@@ -352,14 +416,17 @@ class Trainer:
         self.global_step = 0
         self.history = []
 
-    def _place(self, batch):
+    def _place(self, batch, batch_axis: int = 0):
         if self.mesh is not None:
             from .parallel.mesh import shard_batch
-            return shard_batch(batch, self.mesh)
+            return shard_batch(batch, self.mesh, batch_axis=batch_axis)
         return batch
 
     def train_step(self, batch) -> dict:
-        batch = self._place(batch)
+        accum = self.config.grad_accum_steps
+        if accum > 1:
+            batch = chunk_batch(batch, accum)
+        batch = self._place(batch, batch_axis=1 if accum > 1 else 0)
         self.params, self.state, self.opt_state, metrics = self._step(
             self.params, self.state, self.opt_state, batch)
         self.global_step += 1
