@@ -26,6 +26,14 @@ def main():
                     help="init from darknet .weights / .npz (else random)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--mosaic", action="store_true")
+    ap.add_argument("--hflip", action="store_true")
+    ap.add_argument("--jitter", action="store_true", help="HSV color jitter")
+    ap.add_argument("--letterbox", action="store_true")
+    ap.add_argument("--multi-scale", nargs=2, type=int, default=None,
+                    metavar=("LO", "HI"),
+                    help="random square train size in [LO, HI] step 32")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient accumulation micro-steps")
     ap.add_argument("--smooth", type=float, default=0.0)
     ap.add_argument("--ckpt", default=None, help="checkpoint dir")
     args = ap.parse_args()
@@ -37,7 +45,12 @@ def main():
 
     cfg = YoloConfig(batch_size=args.batch, num_devices=args.devices,
                      compute_dtype="bfloat16" if args.bf16 else "float32",
-                     use_mosaic=args.mosaic, label_smoothing=args.smooth)
+                     use_mosaic=args.mosaic, label_smoothing=args.smooth,
+                     use_hflip=args.hflip, use_color_jitter=args.jitter,
+                     letterbox=args.letterbox,
+                     multi_scale=(tuple(args.multi_scale)
+                                  if args.multi_scale else None),
+                     grad_accum_steps=args.accum)
 
     train_lines = read_annotation_lines(args.anno)
     val_lines = (read_annotation_lines(args.val_anno)
