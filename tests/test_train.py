@@ -168,8 +168,6 @@ def test_dp_mesh_equivalence():
 def test_mesh_grad_accum_step(rng):
     """Mesh DP composes with gradient accumulation: batch stacked as
     (accum, per_dev*n_dev, ...), sharded on axis 1, one scan per replica."""
-    import dataclasses
-
     from yolov4tpu.parallel.mesh import replicate, shard_batch
     from yolov4tpu.train import chunk_batch
 
@@ -301,6 +299,36 @@ def test_grad_accum_chunk_validates():
     import jax.numpy as jnp
     with pytest.raises(AssertionError, match="not divisible"):
         chunk_batch({"image": jnp.zeros((3, 2))}, 2)
+
+
+def test_grad_accum_ragged_batch_drop_last():
+    """Trainer drops the tail of a ragged (epoch-final) batch instead of
+    crashing, and rejects batches smaller than accum outright."""
+    import dataclasses
+
+    from yolov4tpu.train import Trainer
+
+    cfg = dataclasses.replace(CFG, grad_accum_steps=2)
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    tr = Trainer(cfg, C, params, state)
+    ragged = _synthetic_batch(np.random.default_rng(3), bs=3)  # 3 % 2 != 0
+    m = tr.train_step(ragged)
+    assert np.isfinite(float(m["loss"]))
+
+    tiny = _synthetic_batch(np.random.default_rng(4), bs=1)
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        tr.train_step(tiny)
+
+
+def test_twophase_rejects_grad_accum():
+    import dataclasses
+
+    from yolov4tpu.train import make_train_step_twophase
+
+    cfg = dataclasses.replace(CFG, grad_accum_steps=2)
+    opt = make_optimizer(cfg)
+    with pytest.raises(ValueError, match="twophase"):
+        make_train_step_twophase(C, cfg, opt, make_mesh(2))
 
 
 def test_fused_adam_matches_optax(rng):

@@ -287,6 +287,10 @@ def make_train_step_twophase(num_classes: int, config: YoloConfig,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if config.grad_accum_steps > 1:
+        raise ValueError(
+            "make_train_step_twophase does not support grad_accum_steps>1 — "
+            "use make_train_step(mesh=...), which does")
     grad_and_metrics = _make_grad_and_metrics(num_classes, config)
     batch_spec = {"image": P("data"), "labels": [P("data")] * 3,
                   "boxes": P("data")}
@@ -425,6 +429,29 @@ class Trainer:
     def train_step(self, batch) -> dict:
         accum = self.config.grad_accum_steps
         if accum > 1:
+            b = next(iter(jax.tree.leaves(batch))).shape[0]
+            if b < accum:
+                raise ValueError(
+                    f"batch of {b} samples cannot be split into "
+                    f"grad_accum_steps={accum} micro-batches — lower "
+                    "grad_accum_steps or raise batch_size")
+            if b % accum:
+                # Ragged final generator batch: drop-last semantics (the
+                # standard accumulation contract), announced once.
+                keep = (b // accum) * accum
+                if not getattr(self, "_warned_ragged", False):
+                    print(f"grad_accum: dropping {b - keep} tail sample(s) "
+                          f"of ragged batches (batch {b} % accum {accum})")
+                    self._warned_ragged = True
+                batch = jax.tree.map(lambda x: x[:keep], batch)
+            if self.mesh is not None:
+                micro = next(iter(jax.tree.leaves(batch))).shape[0] // accum
+                n_dev = self.mesh.devices.size
+                if micro % n_dev:
+                    raise ValueError(
+                        f"micro-batch of {micro} not divisible by "
+                        f"{n_dev} devices (batch/accum must be a multiple "
+                        "of num_devices)")
             batch = chunk_batch(batch, accum)
         batch = self._place(batch, batch_axis=1 if accum > 1 else 0)
         self.params, self.state, self.opt_state, metrics = self._step(
@@ -497,8 +524,12 @@ class Trainer:
                 n += 1
                 losses.append(metrics["loss"])
                 if verbose and n % log_every == 0:
+                    # Running epoch mean, fetched only at log points — by
+                    # now every step but the newest has long completed, so
+                    # this sync costs one step's latency, not n.
+                    mean = sum(float(l) for l in losses) / n
                     print(f"epoch {epoch} step {n}/{len(train_gen)} "
-                          f"loss {float(losses[-1]):.4f}")
+                          f"loss {mean:.4f}")
             loss_sum = float(sum(float(l) for l in losses))
             entry = {"epoch": epoch, "loss": loss_sum / max(n, 1),
                      "time": time.time() - t0}
