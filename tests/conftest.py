@@ -18,10 +18,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-# NOTE: XLA:CPU's 40 s collective-rendezvous kill timer (fatal on 1-core
-# hosts where 8 virtual replicas run staggered) is stretched per-jit via
-# compiler_options in train._cpu_collective_options — the flag spelling is
-# rejected by this jaxlib's XLA_FLAGS parser, so it cannot be set here.
+# NOTE: XLA:CPU hard-aborts the process when replicas reach a collective
+# more than 40 s apart, and no flag accepted by this jaxlib stretches that
+# timer.  On a 1-core host the N virtual replicas time-slice the core, so
+# the mesh tests instead keep per-replica work small (32px inputs, shallow
+# csp_repeats) to stay inside the rendezvous window — see the docstrings in
+# tests/test_train.py.
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

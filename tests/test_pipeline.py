@@ -126,6 +126,18 @@ def test_random_color_jitter(rng):
     assert not np.allclose(out, img)  # something actually changed
 
 
+def test_random_color_jitter_float_precision(rng):
+    """The jitter runs in float HSV end-to-end: near-identity factors must
+    deviate by far less than one uint8 quantum, and outputs must not snap to
+    the 1/255 grid (regression: an earlier uint8 round trip quantized hue to
+    2-degree bins and sat/val to 8 bits)."""
+    from yolov4tpu.data.pipeline import random_color_jitter
+    img = rng.uniform(0.2, 0.8, (16, 16, 3)).astype(np.float32)
+    out = random_color_jitter(img, rng, hue=1e-6, sat=1e-6, val=1e-6)
+    assert np.abs(out - img).max() < 1e-3
+    assert np.any((out * 255.0) % 1.0 > 0.01)  # off the uint8 grid
+
+
 def test_generator_hflip_jitter_batches(dataset):
     cfg = YoloConfig(img_size=(64, 64, 3), batch_size=2, use_hflip=True,
                      use_color_jitter=True)

@@ -303,7 +303,9 @@ def test_grad_accum_chunk_validates():
 
 def test_grad_accum_ragged_batch_drop_last():
     """Trainer drops the tail of a ragged (epoch-final) batch instead of
-    crashing, and rejects batches smaller than accum outright."""
+    crashing, and SKIPS (returns None for) tails smaller than one round of
+    micro-batches — fit() must survive dataset sizes like 1001 with batch 8
+    accum 4, whose final batch is a single sample."""
     import dataclasses
 
     from yolov4tpu.train import Trainer
@@ -315,9 +317,82 @@ def test_grad_accum_ragged_batch_drop_last():
     m = tr.train_step(ragged)
     assert np.isfinite(float(m["loss"]))
 
+    step_before = tr.global_step
     tiny = _synthetic_batch(np.random.default_rng(4), bs=1)
+    assert tr.train_step(tiny) is None  # skipped, not crashed
+    assert tr.global_step == step_before
+
+
+def test_cosine_callback_drives_optimizer():
+    """The callback-style LR scheduler ACTUALLY changes the LR the optimizer
+    applies (regression: round-1 version only recorded it).  Epoch e trains
+    at cb.lr(e), keras on_epoch_begin semantics."""
+    from yolov4tpu.callbacks import CosineAnnealingScheduler
+    from yolov4tpu.train import Trainer
+
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    tr = Trainer(CFG, C, params, state)
+    batch = _synthetic_batch(np.random.default_rng(0), bs=2)
+
+    class OneBatchGen:
+        def __len__(self):
+            return 1
+
+        def get_batch(self, i):
+            return batch
+
+        def on_epoch_end(self):
+            pass
+
+    cb = CosineAnnealingScheduler(lr_max=1e-3, lr_min=1e-5, cycle_epochs=4)
+    seen = []
+
+    def probe(trainer, entry):  # epoch-end, runs before cb primes epoch+1
+        seen.append(trainer.learning_rate)
+
+    tr.fit(OneBatchGen(), epochs=3, callbacks=[probe, cb], verbose=False)
+    expect = [cb.lr(e) for e in range(3)]
+    assert seen == pytest.approx(expect)
+    assert cb.history == pytest.approx(expect)
+    assert len({round(v, 9) for v in seen}) == 3  # it really changed
+
+    # And the mutated LR is what the jitted step applies: at lr=0, Adam
+    # must leave parameters bit-identical.
+    tr.set_learning_rate(0.0)
+    before = np.asarray(jax.tree.leaves(tr.params)[0]).copy()
+    tr.train_step(batch)
+    np.testing.assert_array_equal(before,
+                                  np.asarray(jax.tree.leaves(tr.params)[0]))
+
+
+def test_cosine_callback_rejects_scheduled_optimizer():
+    """Installing the LR callback on a Trainer whose optimizer already owns a
+    baked-in optax schedule raises instead of silently fighting it."""
+    from yolov4tpu.callbacks import CosineAnnealingScheduler
+    from yolov4tpu.train import Trainer, cosine_annealing_schedule
+
+    sched = cosine_annealing_schedule(1e-3, 1e-5, cycle_epochs=4,
+                                      steps_per_epoch=1)
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    tr = Trainer(CFG, C, params, state, schedule=sched)
+    cb = CosineAnnealingScheduler(lr_max=1e-3, lr_min=1e-5, cycle_epochs=4)
+    with pytest.raises(RuntimeError, match="mutable"):
+        cb.on_epoch_begin(tr, 0)
+
+
+def test_grad_accum_misconfig_raises():
+    """accum that can't divide even a FULL batch is a misconfiguration and
+    still raises (distinct from the ragged-tail drop contract)."""
+    import dataclasses
+
+    from yolov4tpu.train import Trainer
+
+    cfg = dataclasses.replace(CFG, grad_accum_steps=16)  # > batch_size=2
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    tr = Trainer(cfg, C, params, state)
+    batch = _synthetic_batch(np.random.default_rng(4), bs=2)
     with pytest.raises(ValueError, match="grad_accum_steps"):
-        tr.train_step(tiny)
+        tr.train_step(batch)
 
 
 def test_twophase_rejects_grad_accum():

@@ -15,11 +15,16 @@ class CosineAnnealingScheduler:
     """Epoch-wise cosine annealing with restarts, as a Trainer callback.
 
     lr = lr_min + (lr_max - lr_min) * (1 + cos(pi * (epoch % T) / T)) / 2
-    (reference custom_callbacks.py:13-15).
+    (reference custom_callbacks.py:13-15, which mutates the keras
+    optimizer's LR each epoch).
 
-    Note: with optax the preferred route is passing
-    ``train.cosine_annealing_schedule`` at Trainer construction; this callback
-    exists for API familiarity and records the LR it would apply.
+    This callback ACTUALLY drives the optimizer: it writes the next epoch's
+    LR into the mutable ``learning_rate`` hyperparameter that
+    ``train.make_optimizer`` exposes in optimizer state (no recompile).  It
+    raises if the Trainer was built with a baked-in optax schedule or a
+    custom optimizer — then the schedule route
+    (``train.cosine_annealing_schedule``) is the one in charge and mixing
+    the two would silently fight.
     """
 
     def __init__(self, lr_max: float, lr_min: float, cycle_epochs: int,
@@ -35,12 +40,21 @@ class CosineAnnealingScheduler:
         return self.lr_min + (self.lr_max - self.lr_min) * (
             1 + math.cos(math.pi * t)) / 2
 
-    def __call__(self, trainer, entry: dict):
-        lr = self.lr(entry["epoch"] + 1)
+    def on_epoch_begin(self, trainer, epoch: int):
+        """Set this epoch's LR before its first step (keras
+        on_epoch_begin semantics: epoch 0 trains at lr_max)."""
+        lr = self.lr(epoch)
+        trainer.set_learning_rate(lr)
         self.history.append(lr)
         if self.verbose:
-            print(f"CosineAnnealingScheduler: epoch {entry['epoch'] + 1} "
-                  f"lr {lr:.6g}")
+            print(f"CosineAnnealingScheduler: epoch {epoch} lr {lr:.6g}")
+
+    def __call__(self, trainer, entry: dict):
+        # Epoch-END hook (for hand-rolled loops that only invoke callbacks
+        # as callables): prime the NEXT epoch's LR.  Under Trainer.fit this
+        # is redundant — on_epoch_begin re-sets the same value and owns the
+        # history record.
+        trainer.set_learning_rate(self.lr(entry["epoch"] + 1))
 
 
 class CheckpointCallback:

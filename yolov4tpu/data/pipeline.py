@@ -140,13 +140,16 @@ def random_color_jitter(img: np.ndarray, rng: np.random.Generator,
         f = 1 + rng.uniform(0, s)
         return f if rng.uniform() < 0.5 else 1.0 / f
     fs, fv = scale(sat), scale(val)
-    hsv = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
-    hsv = hsv.astype(np.float32)
-    hsv[..., 0] = (hsv[..., 0] + h * 180.0) % 180.0
-    hsv[..., 1] = np.clip(hsv[..., 1] * fs, 0, 255)
-    hsv[..., 2] = np.clip(hsv[..., 2] * fv, 0, 255)
-    out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
-    return out.astype(np.float32) / 255.0
+    # Float-path cvtColor: H in [0,360), S/V in [0,1].  Keeps darknet's
+    # full-precision jitter — a uint8 round trip would quantize hue to
+    # 2-degree bins and sat/val to 8 bits.
+    hsv = cv2.cvtColor(np.ascontiguousarray(img, np.float32),
+                       cv2.COLOR_RGB2HSV)
+    hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
+    hsv[..., 1] = np.clip(hsv[..., 1] * fs, 0.0, 1.0)
+    hsv[..., 2] = np.clip(hsv[..., 2] * fv, 0.0, 1.0)
+    out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return np.clip(out, 0.0, 1.0)
 
 
 def mosaic4(samples, target_hw, rng: np.random.Generator):

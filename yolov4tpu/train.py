@@ -92,10 +92,19 @@ def make_optimizer(config: YoloConfig, schedule=None) -> optax.GradientTransform
 
     ``config.fused_optimizer`` (default OFF — see fused_adam's caveat)
     selects the flat-vector :func:`fused_adam`; the default is leaf-wise
-    optax.adam (identical numerics, different opt_state structure)."""
+    optax.adam (identical numerics, different opt_state structure).
+
+    Without a ``schedule``, the LR is exposed as a mutable optimizer-state
+    hyperparameter (``opt_state.hyperparams['learning_rate']``) so epoch
+    callbacks — :class:`yolov4tpu.callbacks.CosineAnnealingScheduler`, the
+    equivalent of the reference's keras callback (reference
+    custom_callbacks.py:5-15) — can drive it between steps via
+    ``Trainer.set_learning_rate`` without recompiling the train step."""
     lr = schedule if schedule is not None else config.learning_rate
     if config.fused_optimizer:
         return fused_adam(lr)
+    if schedule is None:
+        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     return optax.adam(lr)
 
 
@@ -426,38 +435,84 @@ class Trainer:
             return shard_batch(batch, self.mesh, batch_axis=batch_axis)
         return batch
 
-    def train_step(self, batch) -> dict:
+    def train_step(self, batch) -> Optional[dict]:
+        """Run one optimizer step.  Returns the metrics dict, or ``None``
+        when the batch was a ragged epoch-final tail too small to split into
+        ``grad_accum_steps`` per-device micro-batches and was dropped
+        (drop-last semantics — ``fit`` just moves on to the next batch)."""
         accum = self.config.grad_accum_steps
         if accum > 1:
             b = next(iter(jax.tree.leaves(batch))).shape[0]
-            if b < accum:
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            multiple = accum * n_dev
+            # Misconfiguration (as opposed to a ragged tail) is judged
+            # against the NOMINAL full batch: if even a full generator batch
+            # cannot be split into accum x num_devices equal micro-batches,
+            # no amount of trimming helps — fail loudly.
+            nominal = self.config.batch_size * max(self.config.num_devices, 1)
+            if nominal % multiple:
                 raise ValueError(
-                    f"batch of {b} samples cannot be split into "
-                    f"grad_accum_steps={accum} micro-batches — lower "
-                    "grad_accum_steps or raise batch_size")
-            if b % accum:
-                # Ragged final generator batch: drop-last semantics (the
-                # standard accumulation contract), announced once.
-                keep = (b // accum) * accum
-                if not getattr(self, "_warned_ragged", False):
-                    print(f"grad_accum: dropping {b - keep} tail sample(s) "
-                          f"of ragged batches (batch {b} % accum {accum})")
-                    self._warned_ragged = True
+                    f"full batches of {nominal} samples "
+                    f"(batch_size x num_devices) cannot be split into "
+                    f"grad_accum_steps={accum} x {n_dev}-device "
+                    "micro-batches — lower grad_accum_steps or raise "
+                    "batch_size")
+            # Ragged final generator batch (len(dataset) % batch != 0):
+            # trim to a whole number of micro-batch rounds, or skip it
+            # entirely when fewer than one round remains.  Announced once.
+            keep = (b // multiple) * multiple
+            if keep == 0:
+                self._warn_ragged(
+                    f"grad_accum: skipping {b}-sample tail batch(es) "
+                    f"(smaller than accum x devices = {multiple})")
+                return None
+            if keep < b:
+                self._warn_ragged(
+                    f"grad_accum: dropping {b - keep} tail sample(s) of "
+                    f"ragged batches (batch {b} -> {keep}, multiple of "
+                    f"{multiple})")
                 batch = jax.tree.map(lambda x: x[:keep], batch)
-            if self.mesh is not None:
-                micro = next(iter(jax.tree.leaves(batch))).shape[0] // accum
-                n_dev = self.mesh.devices.size
-                if micro % n_dev:
-                    raise ValueError(
-                        f"micro-batch of {micro} not divisible by "
-                        f"{n_dev} devices (batch/accum must be a multiple "
-                        "of num_devices)")
             batch = chunk_batch(batch, accum)
         batch = self._place(batch, batch_axis=1 if accum > 1 else 0)
         self.params, self.state, self.opt_state, metrics = self._step(
             self.params, self.state, self.opt_state, batch)
         self.global_step += 1
         return metrics
+
+    def _warn_ragged(self, msg: str) -> None:
+        if not getattr(self, "_warned_ragged", False):
+            print(msg)
+            self._warned_ragged = True
+
+    # -- mutable learning rate (callback-driven scheduling) ---------------
+    def _lr_hyperparams(self) -> dict:
+        hp = getattr(self.opt_state, "hyperparams", None)
+        if not isinstance(hp, dict) or "learning_rate" not in hp:
+            raise RuntimeError(
+                "this Trainer's optimizer does not expose a mutable "
+                "learning rate (it was built with an optax schedule or a "
+                "custom/fused optimizer) — either construct the Trainer "
+                "without `schedule` so make_optimizer wraps Adam in "
+                "optax.inject_hyperparams, or drop the LR callback and use "
+                "train.cosine_annealing_schedule instead")
+        return hp
+
+    @property
+    def learning_rate(self) -> float:
+        """The LR the NEXT optimizer step will apply."""
+        return float(jnp.ravel(
+            jnp.asarray(self._lr_hyperparams()["learning_rate"]))[0])
+
+    def set_learning_rate(self, lr: float) -> None:
+        """Set the LR applied from the next step on, without recompiling.
+
+        The LR lives in optimizer state (optax.inject_hyperparams), so a
+        host-side write here flows into the already-jitted train step."""
+        hp = self._lr_hyperparams()
+        value = jnp.asarray(lr, jnp.float32)
+        if self.mesh is not None:
+            value = replicate(value, self.mesh)
+        hp["learning_rate"] = value
 
     def eval_step(self, batch):
         return self._eval(self.params, self.state, self._place(batch))
@@ -514,6 +569,10 @@ class Trainer:
             os.makedirs(resume_dir, exist_ok=True)
 
         for epoch in range(initial_epoch, epochs):
+            for cb in (callbacks or []):
+                begin = getattr(cb, "on_epoch_begin", None)
+                if begin is not None:
+                    begin(self, epoch)
             t0 = time.time()
             # Losses stay on device until a log point / epoch end: float()
             # every step would block the host on each step's completion and
@@ -521,6 +580,8 @@ class Trainer:
             n, losses = 0, []
             for batch in prefetch(train_gen, epochs=1):
                 metrics = self.train_step(batch)
+                if metrics is None:  # ragged tail dropped (grad accum)
+                    continue
                 n += 1
                 losses.append(metrics["loss"])
                 if verbose and n % log_every == 0:

@@ -42,34 +42,48 @@ def get_detection_data(img, model_outputs, class_names,
 
 
 def draw_bbox(img, detections, cmap, random_color=True, figsize=(10, 10),
-              show_img=True, show_text=True):
-    """Draw detection boxes + labels on an image (reference utils.py:88-118)."""
+              show_img=True, show_text=True, rng=None):
+    """Annotate an image with detection rectangles and score labels.
+
+    Same visual contract as the reference renderer (reference
+    utils.py:88-118): outline thickness tracks image size relative to the
+    416 operating point, and each label sits in a class-colored fill above
+    the box's top-left corner with white text.
+
+    ``detections`` is :func:`get_detection_data`'s DataFrame; ``cmap`` maps
+    class name -> color triple.  ``random_color=True`` draws a fresh color
+    per box from ``rng`` (a ``np.random.Generator``; fresh unseeded one if
+    omitted — pass a seeded one for reproducible frames, e.g. video).
+    Returns the annotated array; input is never mutated.
+    """
     import cv2
 
-    img = np.array(img)
-    scale = max(img.shape[0:2]) / 416
-    line_width = int(2 * scale)
+    canvas = np.ascontiguousarray(np.array(img))
+    rel = max(canvas.shape[:2]) / 416.0
+    box_px = max(int(2 * rel), 1)
+    font, font_scale = cv2.FONT_HERSHEY_DUPLEX, max(0.3 * rel, 0.3)
+    text_px = max(int(rel), 1)
+    if random_color and rng is None:
+        rng = np.random.default_rng()
 
-    for _, row in detections.iterrows():
-        x1, y1, x2, y2, cls, score, w, h = row.values
-        color = (list(np.random.random(size=3) * 255)
-                 if random_color else cmap[cls])
-        cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color,
-                      line_width)
+    corners = detections[["x1", "y1", "x2", "y2"]].to_numpy().astype(int)
+    labels = [f"{name} {conf:.2f}" for name, conf in
+              zip(detections["class_name"], detections["score"])]
+    for (x1, y1, x2, y2), label, name in zip(corners, labels,
+                                             detections["class_name"]):
+        color = (tuple(rng.uniform(0, 255, 3)) if random_color
+                 else tuple(cmap[name]))
+        cv2.rectangle(canvas, (x1, y1), (x2, y2), color, box_px)
         if show_text:
-            text = f"{cls} {score:.2f}"
-            font = cv2.FONT_HERSHEY_DUPLEX
-            font_scale = max(0.3 * scale, 0.3)
-            thickness = max(int(1 * scale), 1)
-            (tw, th) = cv2.getTextSize(text, font, fontScale=font_scale,
-                                       thickness=thickness)[0]
-            cv2.rectangle(img, (int(x1) - line_width // 2, int(y1) - th),
-                          (int(x1) + tw, int(y1)), color, cv2.FILLED)
-            cv2.putText(img, text, (int(x1), int(y1)), font, font_scale,
-                        (255, 255, 255), thickness, cv2.LINE_AA)
+            (tw, th), _ = cv2.getTextSize(label, font, fontScale=font_scale,
+                                          thickness=text_px)
+            cv2.rectangle(canvas, (x1 - box_px // 2, y1 - th), (x1 + tw, y1),
+                          color, cv2.FILLED)
+            cv2.putText(canvas, label, (x1, y1), font, font_scale,
+                        (255, 255, 255), text_px, cv2.LINE_AA)
     if show_img:
         import matplotlib.pyplot as plt
         plt.figure(figsize=figsize)
-        plt.imshow(img)
+        plt.imshow(canvas)
         plt.show()
-    return img
+    return canvas
