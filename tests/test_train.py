@@ -255,6 +255,94 @@ def test_shard_map_train_step(rng):
                            np.asarray(s4["bn"][0]["mean"]))
 
 
+def test_dp_train_mode_gradient_equivalence(rng):
+    """Train-mode (batch-stat BN) DP updates == single-device updates when
+    every device holds the SAME 2-sample shard the single device runs: each
+    replica's BN reduction is then bitwise the single device's (same data,
+    same reduction size — a 4x-repeated global batch is NOT bitwise
+    equivalent: different reduction sizes let f32 summation noise amplify
+    chaotically through the conv stack), per-replica gradients coincide,
+    and their mean must equal the single-device gradient.  Extends
+    test_shard_map_train_step (1 sample) to multi-sample batch-stat
+    gradients; pins UPDATES, not just the loss."""
+    from yolov4tpu.parallel.mesh import replicate, shard_batch
+
+    cfg = YoloConfig(img_size=(32, 32, 3), batch_size=2,
+                     csp_repeats=(1, 1, 1, 1, 1))
+    params, state, _ = network.init(C, img_size=32, seed=0,
+                                    csp_repeats=cfg.csp_repeats)
+    mesh = make_mesh(4)
+    opt = make_optimizer(cfg)
+
+    imgs = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    boxes = np.zeros((2, 100, 5), np.float32)
+    boxes[0, 0] = [4, 4, 20, 20, 0]
+    boxes[1, 0] = [8, 2, 28, 24, 1]
+    labels, xywh = preprocess_true_boxes(boxes, (32, 32), cfg.anchors_flat, C)
+    shard = {"image": jnp.asarray(imgs),
+             "labels": [jnp.asarray(l) for l in labels],
+             "boxes": jnp.asarray(xywh)}
+    replicated_batch = jax.tree.map(lambda x: jnp.concatenate([x] * 4), shard)
+
+    single = make_train_step(C, cfg, opt, donate=False)
+    p1, s1, _, m1 = single(params, state, opt.init(params), shard)
+
+    step = make_train_step(C, cfg, opt, mesh=mesh, donate=False)
+    p4, s4, _, m4 = step(replicate(params, mesh), replicate(state, mesh),
+                         replicate(opt.init(params), mesh),
+                         shard_batch(replicated_batch, mesh))
+
+    assert float(m1["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_twophase_heterogeneous_matches_fused(rng):
+    """Fused vs two-phase mesh steps on a batch where every device holds a
+    DIFFERENT sample (the replicated-sample case is covered by
+    test_shard_map_train_step; heterogeneous shards are where a sum-vs-mean
+    or stacking bug would actually show)."""
+    from yolov4tpu.parallel.mesh import replicate, shard_batch
+    from yolov4tpu.train import make_train_step_twophase
+
+    cfg = YoloConfig(img_size=(32, 32, 3), batch_size=1,
+                     csp_repeats=(1, 1, 1, 1, 1))
+    params, state, _ = network.init(C, img_size=32, seed=0,
+                                    csp_repeats=cfg.csp_repeats)
+    mesh = make_mesh(4)
+    opt = make_optimizer(cfg)
+
+    imgs = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    boxes = np.zeros((4, 100, 5), np.float32)
+    for i in range(4):
+        boxes[i, 0] = [2 + i, 4, 18 + 2 * i, 20, i % 2]
+    labels, xywh = preprocess_true_boxes(boxes, (32, 32), cfg.anchors_flat, C)
+    batch = shard_batch({"image": jnp.asarray(imgs),
+                         "labels": [jnp.asarray(l) for l in labels],
+                         "boxes": jnp.asarray(xywh)}, mesh)
+
+    fused = make_train_step(C, cfg, opt, mesh=mesh, donate=False)
+    p_a, s_a, _, m_a = fused(replicate(params, mesh), replicate(state, mesh),
+                             replicate(opt.init(params), mesh), batch)
+
+    twophase = make_train_step_twophase(C, cfg, opt, mesh)
+    p_b, s_b, _, m_b = twophase(replicate(params, mesh),
+                                replicate(state, mesh),
+                                replicate(opt.init(params), mesh), batch)
+
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
 def test_cosine_annealing_schedule_values():
     """Schedule formula parity with reference custom_callbacks.py:13-15."""
     sched = cosine_annealing_schedule(1e-3, 1e-5, cycle_epochs=10,
@@ -321,6 +409,55 @@ def test_grad_accum_ragged_batch_drop_last():
     tiny = _synthetic_batch(np.random.default_rng(4), bs=1)
     assert tr.train_step(tiny) is None  # skipped, not crashed
     assert tr.global_step == step_before
+
+
+def test_init_distributed_single_process_smoke():
+    """Multi-host entry point: on a single process it is a no-op that
+    reports the local topology (and notably does NOT try to start a
+    coordinator)."""
+    from yolov4tpu.parallel.mesh import init_distributed
+
+    info = init_distributed()
+    assert info["process_id"] == 0
+    assert info["num_processes"] == 1
+    assert info["global_devices"] == jax.device_count()
+    assert info["local_devices"] == jax.local_device_count()
+    # idempotent
+    assert init_distributed() == info
+
+
+def test_encode_on_device_step_matches_host(rng):
+    """config.encode_on_device: the train step fed raw (B,max_boxes,5) boxes
+    encodes labels inside the jit and produces the SAME loss and parameter
+    update as the host-encoded pipeline (boxes chosen collision-free, where
+    the two encoders are exact twins)."""
+    import dataclasses
+
+    cfg_dev = dataclasses.replace(CFG, encode_on_device=True)
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    opt = make_optimizer(CFG)
+
+    bs = 2
+    imgs = rng.uniform(0, 1, (bs, 64, 64, 3)).astype(np.float32)
+    boxes = np.zeros((bs, 100, 5), np.float32)
+    boxes[:, 0] = [8, 8, 40, 40, 0]
+    boxes[:, 1] = [30, 20, 60, 60, 1]
+    labels, xywh = preprocess_true_boxes(boxes, (64, 64), CFG.anchors_flat, C)
+    host_batch = {"image": jnp.asarray(imgs),
+                  "labels": [jnp.asarray(l) for l in labels],
+                  "boxes": jnp.asarray(xywh)}
+    raw_batch = {"image": jnp.asarray(imgs), "raw_boxes": jnp.asarray(boxes)}
+
+    p_host, _, _, m_host = make_train_step(C, CFG, opt, donate=False)(
+        params, state, opt.init(params), host_batch)
+    p_dev, _, _, m_dev = make_train_step(C, cfg_dev, opt, donate=False)(
+        params, state, opt.init(params), raw_batch)
+
+    assert float(m_host["loss"]) == pytest.approx(float(m_dev["loss"]),
+                                                  rel=1e-6)
+    for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_cosine_callback_drives_optimizer():

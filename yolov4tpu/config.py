@@ -67,6 +67,15 @@ class YoloConfig:
     # accum-times-larger effective batch at constant activation memory.
     grad_accum_steps: int = 1
 
+    # On-device label encoding: the DataGenerator ships raw (B,max_boxes,5)
+    # boxes and the jitted train step encodes the three anchor grids on the
+    # accelerator (data.encode.encode_labels_jax) — the host pipeline stops
+    # paying for the grid scatter (the reference's slowest host code,
+    # reference utils.py:210-303) and the host->device transfer shrinks
+    # ~45x (3 label grids -> one 100x5 box table per image).  Incompatible
+    # with multi_scale (the encoder's grid shapes are jit-static).
+    encode_on_device: bool = False
+
     # Flat-vector Adam (train.fused_adam): one raveled moment buffer instead
     # of ~330 leaf-wise kernels.  2x faster as a standalone update, but OFF
     # by default: inside the full train step the ravel is a barrier that
@@ -113,6 +122,10 @@ class YoloConfig:
             raise ValueError("img_size must be a multiple of the last stride")
         if len(self.anchors) != 18:
             raise ValueError("expected 9 anchor (w, h) pairs")
+        if self.encode_on_device and self.multi_scale is not None:
+            raise ValueError(
+                "encode_on_device requires fixed grid shapes — disable "
+                "multi_scale or encode labels on the host")
 
     # --- Derived quantities ---
     @property

@@ -340,6 +340,8 @@ class DataGenerator:
                 y_bbox[i, :len(boxes)] = boxes
         X, y_bbox = native.assemble_batch(raws, y_bbox,
                                           self.target_img_size[:2])
+        if self.config.encode_on_device:
+            return {"image": X, "raw_boxes": y_bbox}
         y_tensor, y_true_boxes_xywh = native.encode_labels_batch(
             y_bbox, self.target_img_size[:2], self.anchors, self.num_classes,
             self.config.strides)
@@ -367,6 +369,10 @@ class DataGenerator:
         y_bbox = np.empty((n, self.max_boxes, 5), np.float32)
         for i, line in enumerate(lines):
             X[i], y_bbox[i] = self.get_data(line)
+        if self.config.encode_on_device:
+            # Ship raw boxes; the jitted train step encodes the grids
+            # on-accelerator (train step + data.encode.encode_labels_jax).
+            return {"image": X, "raw_boxes": y_bbox}
         y_tensor, y_true_boxes_xywh = preprocess_true_boxes(
             y_bbox, self.target_img_size[:2], self.anchors, self.num_classes,
             self.config.strides)
@@ -376,6 +382,13 @@ class DataGenerator:
         """Reference-shaped output: ([X, *label_grids, boxes], zeros)
         (reference utils.py:149-161)."""
         b = self.get_batch(index)
+        if "labels" not in b:
+            # encode_on_device ships raw boxes; the reference tuple contract
+            # still owes host-encoded grids, so encode here.
+            labels, xywh = preprocess_true_boxes(
+                b["raw_boxes"], self.target_img_size[:2], self.anchors,
+                self.num_classes, self.config.strides)
+            b = {"image": b["image"], "labels": labels, "boxes": xywh}
         return [b["image"], *b["labels"], b["boxes"]], np.zeros(len(b["image"]))
 
     def __iter__(self) -> Iterator[dict]:

@@ -6,12 +6,15 @@ equivalent: a ``jax.sharding.Mesh`` with a ``data`` axis; batches are sharded
 on that axis, parameters replicated, and XLA emits the gradient all-reduce
 (psum over ICI) from the sharding annotations — no hand-written collectives.
 
-Multi-host extension: call ``jax.distributed.initialize()`` before
-``make_mesh`` and the same annotations ride DCN across slices.
+Multi-host extension: call :func:`init_distributed` (once, before any other
+JAX use) on every process, then ``make_mesh()`` with no argument — it spans
+the GLOBAL device set and the same sharding annotations ride ICI within a
+slice and DCN across slices.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -19,9 +22,60 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> dict:
+    """Join this process to a multi-host JAX cluster (the entry point the
+    reference never had — its MirroredStrategy was single-host only,
+    reference models.py:41-44).
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``.  On TPU
+    pods every argument is discovered from the runtime/metadata, so
+    ``init_distributed()`` with no arguments is the whole recipe; on
+    CPU/GPU rigs pass ``coordinator_address`` ("host:port" of process 0),
+    ``num_processes`` and ``process_id``, or set the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+
+    Must run before any other JAX call (backend init pins the device set).
+    Returns {"process_id", "num_processes", "local_devices",
+    "global_devices"} for logging.
+
+    Per-host data sharding recipe: each process feeds its OWN DataGenerator
+    over 1/num_processes of the annotation lines::
+
+        lines = read_annotation_lines(path)[jax.process_index()::jax.process_count()]
+
+    with per-host batch ``config.batch_size * jax.local_device_count()``.
+    ``shard_batch`` then places each host's shard on its local devices; the
+    gradient all-reduce spans the global mesh automatically.
+    """
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    already = jax.process_count() > 1
+    if not already and (coordinator_address is not None
+                        or num_processes not in (None, 1)):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return {
+        "process_id": jax.process_index(),
+        "num_processes": jax.process_count(),
+        "local_devices": jax.local_device_count(),
+        "global_devices": jax.device_count(),
+    }
+
+
 def make_mesh(num_data: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_data`` devices."""
+    """1-D data-parallel mesh over the first ``num_data`` devices.
+
+    After :func:`init_distributed`, ``jax.devices()`` is the GLOBAL device
+    list, so the default mesh spans every chip of every host."""
     devices = list(devices if devices is not None else jax.devices())
     if num_data is not None:
         if num_data > len(devices):

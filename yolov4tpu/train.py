@@ -108,6 +108,35 @@ def make_optimizer(config: YoloConfig, schedule=None) -> optax.GradientTransform
     return optax.adam(lr)
 
 
+def _maybe_encode_on_device(batch: dict, config: YoloConfig,
+                            num_classes: int) -> dict:
+    """Turn a raw-boxes batch into a labels batch INSIDE the jit.
+
+    With ``config.encode_on_device`` the DataGenerator ships
+    {'image', 'raw_boxes': (B, max_boxes, 5)} and the anchor-grid scatter
+    (the reference's slowest host code, reference utils.py:210-303) runs
+    here as XLA scatters on the accelerator — the BASELINE north star's
+    "anchor ground-truth target encoding run as jit-vectorized pipelines".
+    Batches that already carry 'labels' pass through untouched, so host- and
+    device-encoded pipelines share every step variant.
+    """
+    if "labels" in batch:
+        return batch
+    from .data.encode import encode_labels_jax
+    labels, xywh = encode_labels_jax(
+        batch["raw_boxes"], config.img_size[:2], config.anchors_flat,
+        num_classes, config.strides)
+    return {"image": batch["image"], "labels": labels, "boxes": xywh}
+
+
+def _batch_pspec(config: YoloConfig, spec):
+    """shard_map PartitionSpec tree matching the batch the DataGenerator
+    produces (labels batches, or raw-boxes batches with encode_on_device)."""
+    if config.encode_on_device:
+        return {"image": spec, "raw_boxes": spec}
+    return {"image": spec, "labels": [spec] * 3, "boxes": spec}
+
+
 def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
     """(params, state, batch) -> (grads, new_state, metrics) — the shared
     core of every train-step variant.  Local computation only, no
@@ -117,6 +146,7 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
                      else jnp.float32)
 
     def grad_and_metrics(params, state, batch):
+        batch = _maybe_encode_on_device(batch, config, num_classes)
         if config.sat_epsilon > 0.0:
             # Self-adversarial training (the reference's unchecked TODO,
             # reference README.md:10-13): one FGSM step on the IMAGES that
@@ -253,7 +283,7 @@ def make_train_step(num_classes: int, config: YoloConfig,
     # With gradient accumulation the leading batch axis is the micro-step
     # stack (replicated scan axis); the per-device shard axis is axis 1.
     spec = (P(None, "data") if config.grad_accum_steps > 1 else P("data"))
-    batch_spec = {"image": spec, "labels": [spec] * 3, "boxes": spec}
+    batch_spec = _batch_pspec(config, spec)
 
     n_dev = mesh.devices.size
 
@@ -301,8 +331,7 @@ def make_train_step_twophase(num_classes: int, config: YoloConfig,
             "make_train_step_twophase does not support grad_accum_steps>1 — "
             "use make_train_step(mesh=...), which does")
     grad_and_metrics = _make_grad_and_metrics(num_classes, config)
-    batch_spec = {"image": P("data"), "labels": [P("data")] * 3,
-                  "boxes": P("data")}
+    batch_spec = _batch_pspec(config, P("data"))
 
     def local_grads(params, state, batch):
         grads, new_state, metrics = grad_and_metrics(params, state, batch)
@@ -376,6 +405,7 @@ def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
     anchors = config.anchors_grouped
 
     def step(params, state, batch):
+        batch = _maybe_encode_on_device(batch, config, num_classes)
         outs, _ = network.apply(params, state, batch["image"], num_classes,
                                 train=False, csp_repeats=config.csp_repeats)
         return yolo_loss(outs, batch["labels"], batch["boxes"], anchors,
@@ -389,8 +419,7 @@ def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
 
     from jax.sharding import PartitionSpec as P
 
-    batch_spec = {"image": P("data"), "labels": [P("data")] * 3,
-                  "boxes": P("data")}
+    batch_spec = _batch_pspec(config, P("data"))
 
     def local_step(params, state, batch):
         return lax.pmean(step(params, state, batch), "data")

@@ -179,3 +179,80 @@ def random_darknet_bytes(num_classes: int, seed: int = 0) -> bytes:
         w = rng.normal(0.0, 1.0 / np.sqrt(fan_in), f * spec.in_ch * k * k)
         out.write(w.astype(np.float32).tobytes())
     return out.getvalue()
+
+
+def calibrate_detection_density(params: dict, raw_outputs, num_classes: int,
+                                score_threshold: float = 0.3,
+                                target_per_image: float = 120.0):
+    """Shift the head-conv obj/class biases so a random-init detector emits a
+    realistic detection density (~``target_per_image`` boxes whose best-class
+    score clears ``score_threshold``).
+
+    Random-init logits hover near 0, so best-class scores sit at
+    ~sigmoid(0)^2 = 0.25 — just UNDER the reference's 0.3 threshold: every
+    scene looks empty and NMS degenerates to a no-op.  The head convs are
+    the network's last layer with no BN and no activation, so adding a
+    scalar ``delta`` to their obj/class biases shifts those output logits by
+    EXACTLY ``delta``; the right delta is found by bisection on the
+    ``raw_outputs`` the CURRENT params produced (no re-forward needed).
+
+    Returns ``(new_params, delta)`` — new_params is a deep-copied pytree with
+    each biased head conv's [dx,dy,dw,dh,obj,classes...] blocks shifted on
+    obj+classes.  Used by the end-to-end golden-parity test and the
+    busy-scene bench (VERDICT r1 items 1-2).
+    """
+    obj_logits, cls_logits = [], []
+    for raw in raw_outputs:
+        r = np.asarray(raw, np.float32)
+        flat = r.reshape(r.shape[0], -1, 5 + num_classes)
+        obj_logits.append(flat[..., 4])
+        cls_logits.append(flat[..., 5:].max(-1))
+    obj = np.concatenate(obj_logits, axis=1)
+    mcls = np.concatenate(cls_logits, axis=1)
+    n_img = obj.shape[0]
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    def count(delta):
+        s = sigmoid(obj + delta) * sigmoid(mcls + delta)
+        return float((s > score_threshold).sum()) / n_img
+
+    lo, hi = -30.0, 30.0
+    if count(lo) > target_per_image or count(hi) < target_per_image:
+        raise ValueError("target density unreachable by a scalar bias shift")
+    for _ in range(60):  # monotone in delta -> plain bisection
+        mid = 0.5 * (lo + hi)
+        if count(mid) < target_per_image:
+            lo = mid
+        else:
+            hi = mid
+    delta = 0.5 * (lo + hi)
+
+    # Bisection converges to a delta where some box sits EXACTLY at the
+    # threshold (the count step it hunts IS a score crossing 0.3) — that
+    # box then flips in/out under ~1e-7 cross-framework noise and breaks
+    # valid-count comparisons.  Scan nearby deltas and keep the one whose
+    # nearest score is FARTHEST from the threshold while the density stays
+    # in [0.5, 1.5]x target.
+    best = None
+    for off in np.linspace(-0.1, 0.1, 201):
+        d = delta + off
+        s = sigmoid(obj + d) * sigmoid(mcls + d)
+        c = float((s > score_threshold).sum()) / n_img
+        if not (0.5 * target_per_image <= c <= 1.5 * target_per_image):
+            continue
+        margin = float(np.abs(s - score_threshold).min())
+        if best is None or margin > best[0]:
+            best = (margin, d)
+    delta = best[1] if best is not None else delta
+
+    new_convs = []
+    for p in params["convs"]:
+        p = dict(p)
+        if "b" in p:
+            b = np.array(p["b"], np.float32).reshape(3, 5 + num_classes)
+            b[:, 4:] += delta
+            p["b"] = b.ravel()
+        new_convs.append(p)
+    return {**params, "convs": new_convs}, delta
