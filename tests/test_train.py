@@ -80,6 +80,24 @@ def test_train_step_sat(setup):
     assert not np.allclose(w_plain, w_sat)
 
 
+def test_bn_stats_gradient_flag(setup):
+    """bn_stats_gradient=False: forward (loss) is unchanged — stop_gradient
+    is an identity there — but the backward drops the stat-gradient chain,
+    so the update genuinely differs from the parity default."""
+    params, state, batch = setup
+    cfg = CFG.replace(bn_stats_gradient=False)
+    opt = make_optimizer(CFG)
+    p_a, _, _, m_a = make_train_step(C, CFG, opt, donate=False)(
+        params, state, opt.init(params), batch)
+    p_b, _, _, m_b = make_train_step(C, cfg, opt, donate=False)(
+        params, state, opt.init(params), batch)
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-6)
+    assert np.isfinite(float(m_b["loss"]))
+    a0 = np.asarray(jax.tree.leaves(p_a)[0])
+    b0 = np.asarray(jax.tree.leaves(p_b)[0])
+    assert not np.allclose(a0, b0)
+
+
 def test_overfit_tiny_synthetic(setup, rng):
     """Loss decreases substantially on one repeated batch (integration tier)."""
     params, state, batch = setup

@@ -84,6 +84,13 @@ class YoloConfig:
     # Useful where the update runs alone (e.g. gradient-accumulation reduce).
     fused_optimizer: bool = False
 
+    # BN batch-statistic gradients: True (default) backprops through the
+    # batch mean/var like keras BatchNormalization (reference parity math).
+    # False treats the stats as constants in the backward pass — an opt-in
+    # ~+10% train-step throughput (measured 212->237 img/s, 416^2 b16 bf16
+    # on v5e); scale/shift still learn.  Validate convergence per workload.
+    bn_stats_gradient: bool = True
+
     # Aspect-preserving letterbox resize (gray padding) instead of the
     # reference's stretch resize (reference utils.py:195).  Off by default
     # for parity; affects training pipeline, inference and eval export alike.

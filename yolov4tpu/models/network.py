@@ -174,11 +174,12 @@ class _ApplyOps:
     """Ops backend that consumes params sequentially and computes with jnp."""
 
     def __init__(self, params: Params, state: State, train: bool,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, stats_gradient: bool = True):
         self.convs = params["convs"]
         self.bn = state["bn"]
         self.train = train
         self.dtype = compute_dtype
+        self.stats_gradient = stats_gradient
         self.i = 0
         self.new_bn: List[Optional[Dict[str, jnp.ndarray]]] = []
 
@@ -213,6 +214,15 @@ class _ApplyOps:
                 mean = jnp.mean(y, axis=(0, 1, 2), dtype=jnp.float32)
                 mean2 = jnp.mean(
                     lax.square(y.astype(jnp.float32)), axis=(0, 1, 2))
+                if not self.stats_gradient:
+                    # Opt-in (YoloConfig.bn_stats_gradient=False): treat the
+                    # batch statistics as constants in the backward pass.
+                    # NOT the reference's BN math — keras BN backprops
+                    # through mean/var — but removes the stat-gradient
+                    # chain from every conv's backward (~+10% train step,
+                    # measured 212->237 img/s at 416^2 b16 on v5e).
+                    mean = lax.stop_gradient(mean)
+                    mean2 = lax.stop_gradient(mean2)
                 var = jnp.maximum(mean2 - lax.square(mean), 0.0)
                 self.new_bn.append({
                     "mean": BN_MOMENTUM * bn["mean"] + (1 - BN_MOMENTUM) * mean,
@@ -257,13 +267,17 @@ class _ApplyOps:
 
 def apply(params: Params, state: State, images, num_classes: int,
           train: bool = False, compute_dtype=jnp.float32,
-          csp_repeats=topology.DEFAULT_CSP_REPEATS):
+          csp_repeats=topology.DEFAULT_CSP_REPEATS,
+          bn_stats_gradient: bool = True):
     """Forward pass: images (B,H,W,3) -> ([sbbox, mbbox, lbbox], new_state).
 
     Raw un-activated head outputs, shapes (B, H/8, W/8, 3*(C+5)) etc.
     When train=True, new_state carries updated BN moving statistics.
+    bn_stats_gradient=False stops gradients through the BN batch stats
+    (see _ApplyOps.conv) — an opt-in throughput/parity trade.
     """
-    ops = _ApplyOps(params, state, train, compute_dtype)
+    ops = _ApplyOps(params, state, train, compute_dtype,
+                    stats_gradient=bn_stats_gradient)
     outs = topology.yolov4(ops, images, num_classes, csp_repeats)
     outs = [o.astype(jnp.float32) for o in outs]
     new_state = {"bn": ops.new_bn} if train else state

@@ -156,7 +156,8 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
                 outs, _ = network.apply(
                     params, state, images, num_classes, train=True,
                     compute_dtype=compute_dtype,
-                    csp_repeats=config.csp_repeats)
+                    csp_repeats=config.csp_repeats,
+                    bn_stats_gradient=config.bn_stats_gradient)
                 return yolo_loss(
                     outs, batch["labels"], batch["boxes"], anchors,
                     config.strides, num_classes, config.iou_loss_thresh,
@@ -172,7 +173,8 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
         def loss_fn(p):
             outs, new_state = network.apply(
                 p, state, batch["image"], num_classes, train=True,
-                compute_dtype=compute_dtype, csp_repeats=config.csp_repeats)
+                compute_dtype=compute_dtype, csp_repeats=config.csp_repeats,
+                bn_stats_gradient=config.bn_stats_gradient)
             total, comps = yolo_loss(
                 outs, batch["labels"], batch["boxes"], anchors,
                 config.strides, num_classes, config.iou_loss_thresh,
