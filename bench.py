@@ -1,13 +1,21 @@
-"""End-to-end inference throughput benchmark (reference operating point).
+"""End-to-end benchmark at the reference operating point (416^2 COCO).
 
-Measures YOLOv4-COCO 416x416 images/sec through the FULL pipeline the
-reference's inference_model runs (backbone+neck forward -> head decode ->
-combined NMS, reference models.py:68-73), on the available accelerator.
+Measures, on the available accelerator:
+  - inference img/s through the FULL pipeline the reference's
+    inference_model runs (backbone+neck forward -> head decode -> combined
+    NMS, reference models.py:68-73) on a BUSY scene: head biases calibrated
+    (weights.calibrate_detection_density) so ~120 boxes/image clear the 0.3
+    score threshold and the NMS suppression loop does real work, like a
+    trained detector's output.  An empty-scene number (random-init weights,
+    ~0 candidates — the data-dependent best case) is reported alongside.
+  - training img/s through the fused train step (forward+loss+backward+Adam,
+    reference models.py:100-107), bf16, best batch size.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 5000 img/s (the BASELINE.json north star for v5e-8;
-on a single chip the fair share of that target is 5000/8 = 625 img/s/chip —
-both numbers are included in the extras field).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+headline metric is busy-scene inference throughput and vs_baseline is
+value / 5000 img/s (BASELINE.json north star for v5e-8; the fair single-chip
+share is 5000/8 = 625 img/s — both appear in extras, as do the empty-scene
+and training numbers).
 """
 
 import json
@@ -33,17 +41,17 @@ def main():
     except Exception:
         pass
 
+    from yolov4tpu import weights as w
     from yolov4tpu.config import YoloConfig
+    from yolov4tpu.data.encode import preprocess_true_boxes
     from yolov4tpu.models import network
     from yolov4tpu.ops.detect import detect_fused
+    from yolov4tpu.train import make_optimizer, make_train_step
 
     num_classes = 80
     cfg = YoloConfig(compute_dtype="bfloat16")
     params, state, _ = network.init(num_classes, img_size=416, seed=0)
-    folded = network.fold_bn(params, state)
-    folded = jax.device_put(folded)
     anchors = cfg.anchors_grouped
-
     compute_dtype = jnp.bfloat16
 
     @jax.jit
@@ -64,41 +72,98 @@ def main():
         # valid_detections drains every prior one too.
         np.asarray(out[3])
 
-    def measure(batch):
+    rng = np.random.default_rng(0)
+
+    # Busy-scene calibration: one small forward with the random-init params,
+    # then shift the head biases so ~120 boxes/image clear the threshold
+    # (random-init best-class scores sit at ~sigmoid(0)^2 = 0.25 < 0.3, so
+    # the uncalibrated detector sees empty scenes and the NMS suppression
+    # loop's trip count is ~0 — the best case, not the trained-model case).
+    folded_empty = jax.device_put(network.fold_bn(params, state))
+    probe = jnp.asarray(rng.uniform(0, 1, (8, 416, 416, 3)).astype(np.float32))
+    raws = [np.asarray(r, np.float32) for r in jax.jit(
+        lambda fp, im: network.apply_folded(fp, im, num_classes,
+                                            compute_dtype))(
+        folded_empty, probe)]
+    params_busy, _delta = w.calibrate_detection_density(
+        params, raws, num_classes, cfg.score_threshold, target_per_image=120.0)
+    folded_busy = jax.device_put(network.fold_bn(params_busy, state))
+
+    def measure_infer(folded, batch):
         images = jnp.asarray(
-            np.random.default_rng(0).uniform(0, 1, (batch, 416, 416, 3))
-            .astype(np.float32))
-        # warmup/compile (synced)
-        sync(infer(folded, images))
+            rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32))
+        sync(infer(folded, images))  # warmup/compile (synced)
         iters = max(5, int(4000 / batch))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = infer(folded, images)
         sync(out)
-        dt = time.perf_counter() - t0
-        return batch * iters / dt
+        return batch * iters / (time.perf_counter() - t0)
 
-    best_bs, best = None, 0.0
+    busy_best, busy_bs = 0.0, None
+    empty_best = 0.0
     for batch in (128, 192):
         try:
-            ips = measure(batch)
+            busy = measure_infer(folded_busy, batch)
+            empty = measure_infer(folded_empty, batch)
         except Exception:
             break
-        if ips > best:
-            best, best_bs = ips, batch
+        if busy > busy_best:
+            busy_best, busy_bs = busy, batch
+        empty_best = max(empty_best, empty)
+
+    # Training throughput: fused jitted step (fwd+loss+bwd+Adam), bf16.
+    def measure_train(batch):
+        cfg_t = YoloConfig(compute_dtype="bfloat16", batch_size=batch)
+        opt = make_optimizer(cfg_t)
+        step = make_train_step(num_classes, cfg_t, opt, donate=True)
+        imgs = rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32)
+        boxes = np.zeros((batch, 100, 5), np.float32)
+        boxes[:, 0] = [50, 60, 200, 220, 3]
+        boxes[:, 1] = [150, 30, 380, 360, 17]
+        labels, xywh = preprocess_true_boxes(boxes, (416, 416),
+                                             cfg_t.anchors_flat, num_classes)
+        b = {"image": jnp.asarray(imgs),
+             "labels": [jnp.asarray(l) for l in labels],
+             "boxes": jnp.asarray(xywh)}
+        p, s = jax.device_put((params, state))
+        o = opt.init(p)
+        p, s, o, m = step(p, s, o, b)
+        float(m["loss"])  # warmup + hard sync
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, s, o, m = step(p, s, o, b)
+        float(m["loss"])
+        return batch * iters / (time.perf_counter() - t0)
+
+    # Throughput rises with batch well past the round-1 assumption (212
+    # img/s b16 -> 310 b128); 128 is the largest size the remote compile
+    # helper accepts at 416^2, with 64 as the fallback.
+    train_best, train_bs = 0.0, None
+    for batch in (128, 64):
+        try:
+            train_best, train_bs = measure_train(batch), batch
+            break
+        except Exception:
+            continue
 
     result = {
-        "metric": "inference_throughput_416",
-        "value": round(best, 2),
+        "metric": "inference_throughput_416_busy",
+        "value": round(busy_best, 2),
         "unit": "img/s",
-        "vs_baseline": round(best / 5000.0, 4),
+        "vs_baseline": round(busy_best / 5000.0, 4),
         "extras": {
-            "batch_size": best_bs,
+            "batch_size": busy_bs,
             "device": str(jax.devices()[0]),
             "per_chip_target": 625.0,
-            "vs_per_chip_target": round(best / 625.0, 4),
+            "vs_per_chip_target": round(busy_best / 625.0, 4),
             "dtype": "bfloat16",
             "includes": "forward+decode+combined_nms",
+            "detections_per_image_target": 120,
+            "empty_scene_img_s": round(empty_best, 2),
+            "train_throughput_416": round(train_best, 2),
+            "train_batch_size": train_bs,
         },
     }
     print(json.dumps(result))

@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient accumulation micro-steps")
     ap.add_argument("--smooth", type=float, default=0.0)
+    ap.add_argument("--encode-on-device", action="store_true",
+                    help="scatter label grids on the accelerator inside the "
+                         "jitted step (host ships raw box tables)")
+    ap.add_argument("--no-bn-stats-grad", action="store_true",
+                    help="stop gradients through BN batch stats: ~+6-11%% "
+                         "step throughput, NOT reference BN math")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir")
     args = ap.parse_args()
 
@@ -50,7 +56,9 @@ def main():
                      letterbox=args.letterbox,
                      multi_scale=(tuple(args.multi_scale)
                                   if args.multi_scale else None),
-                     grad_accum_steps=args.accum)
+                     grad_accum_steps=args.accum,
+                     encode_on_device=args.encode_on_device,
+                     bn_stats_gradient=not args.no_bn_stats_grad)
 
     train_lines = read_annotation_lines(args.anno)
     val_lines = (read_annotation_lines(args.val_anno)
