@@ -171,3 +171,34 @@ def test_distributed_inference_matches_single(model, rng):
         model._refresh_inference()
     for s, d in zip(single, sharded):
         np.testing.assert_allclose(d, s, rtol=1e-4, atol=1e-5)
+
+
+def test_eval_map_callback_during_fit(model, tmp_path, rng):
+    """EvalMapCallback runs the whole export+score pipeline from inside the
+    epoch loop and records per-epoch mAP."""
+    import cv2
+
+    from yolov4tpu.callbacks import EvalMapCallback
+    from yolov4tpu.data.pipeline import DataGenerator
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"c{i}.jpg"),
+                    rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+        lines.append(f"c{i}.jpg 5,5,30,30,0 35,35,60,60,2")
+    anno = tmp_path / "anno.txt"
+    anno.write_text("\n".join(lines) + "\n")
+    classes = tmp_path / "classes.txt"
+    classes.write_text("a\nb\nc\n")
+
+    gen = DataGenerator(lines, str(classes), str(img_dir), config=CFG, seed=0)
+    cb = EvalMapCallback(model, str(anno), str(img_dir),
+                         str(tmp_path / "evalwork"), every=1, verbose=0)
+    model.fit(gen, epochs=1, callbacks=[cb], verbose=False)
+    assert len(cb.history) == 1
+    rec = cb.history[0]
+    assert rec["epoch"] == 0
+    assert 0.0 <= rec["mAP"] <= 1.0
+    assert os.path.exists(tmp_path / "evalwork" / "result" / "output.txt")

@@ -57,6 +57,52 @@ class CosineAnnealingScheduler:
         trainer.set_learning_rate(self.lr(entry["epoch"] + 1))
 
 
+class EvalMapCallback:
+    """Run the full mAP pipeline (export predictions on a held-out
+    annotation file -> Cartucho-style scorer) every N epochs during
+    training, recording {'epoch', 'mAP', per-class APs} in ``history``.
+
+    The reference could only evaluate after training ended (its eval is a
+    separate manual flow, reference models.py:129-507); this wires the same
+    pipeline into the epoch loop.  ``model`` is the owning
+    :class:`yolov4tpu.api.Yolov4`; its inference params are synced from the
+    trainer before each evaluation.
+    """
+
+    def __init__(self, model, annotation_path: str, img_folder_path: str,
+                 work_dir: str, every: int = 5, verbose: int = 1):
+        self.model = model
+        self.annotation_path = annotation_path
+        self.img_folder_path = img_folder_path
+        self.work_dir = work_dir
+        self.every = every
+        self.verbose = verbose
+        self.history = []
+
+    def __call__(self, trainer, entry: dict):
+        import os
+
+        epoch = entry["epoch"]
+        if (epoch + 1) % self.every:
+            return
+        self.model.sync_from_trainer()
+        gt = os.path.join(self.work_dir, "ground_truth")
+        pred = os.path.join(self.work_dir, "pred_result")
+        for d in (gt, pred):
+            os.makedirs(d, exist_ok=True)
+        self.model.export_gt(self.annotation_path, gt)
+        self.model.export_prediction(self.annotation_path, pred,
+                                     self.img_folder_path,
+                                     verbose=self.verbose > 1)
+        scores = self.model.eval_map(
+            gt, pred, os.path.join(self.work_dir, "json"),
+            os.path.join(self.work_dir, "result"),
+            plot=False, verbose=self.verbose > 1)
+        self.history.append({"epoch": epoch, **scores})
+        if self.verbose:
+            print(f"EvalMapCallback: epoch {epoch} mAP {scores['mAP']:.4f}")
+
+
 class CheckpointCallback:
     """Save an .npz checkpoint every N epochs."""
 
