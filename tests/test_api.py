@@ -202,3 +202,23 @@ def test_eval_map_callback_during_fit(model, tmp_path, rng):
     assert rec["epoch"] == 0
     assert 0.0 <= rec["mAP"] <= 1.0
     assert os.path.exists(tmp_path / "evalwork" / "result" / "output.txt")
+
+
+def test_spatial_sharded_inference_matches_single(model, rng):
+    """distribute(axis='spatial'): the image HEIGHT dim is sharded and GSPMD
+    inserts conv halo exchanges; results must equal single-device."""
+    import jax
+    assert jax.device_count() >= 8
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    single = [np.asarray(o) for o in model.predict_batch(imgs)]
+    try:
+        model.distribute(8, axis="spatial")
+        sharded = [np.asarray(o) for o in model.predict_batch(imgs)]
+    finally:
+        model._mesh = None
+        model._dist_axis = "batch"
+        model._refresh_inference()
+    for s, d in zip(single, sharded):
+        np.testing.assert_allclose(d, s, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="axis"):
+        model.distribute(2, axis="pipeline")

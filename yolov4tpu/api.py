@@ -158,6 +158,10 @@ class Yolov4:
         if self._mesh is not None:
             from .parallel.mesh import batch_sharding, replicated
             repl, data = replicated(self._mesh), batch_sharding(self._mesh)
+            if getattr(self, "_dist_axis", "batch") == "spatial":
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                data = NamedSharding(self._mesh, P(None, "data"))  # H dim
+                cfg = cfg.replace(s2d_stem=False)
             jit_kw = {"in_shardings": (repl, data)}
             self._folded = jax.device_put(self._folded, repl)
 
@@ -172,17 +176,28 @@ class Yolov4:
         self._infer_fn = build_infer_fn(cfg, num_classes,
                                         self._compute_dtype, jit_kw=jit_kw)
 
-    def distribute(self, num_devices: Optional[int] = None):
-        """Shard batched inference across a data-parallel device mesh.
+    def distribute(self, num_devices: Optional[int] = None,
+                   axis: str = "batch"):
+        """Shard batched inference across a device mesh.
 
         The reference's only parallelism was a MirroredStrategy scope around
-        training (models.py:41-44); here inference scales too: images are
-        sharded on the mesh ``data`` axis, folded params replicated, and the
-        whole forward+decode+NMS program runs SPMD.  Batch size must be a
-        multiple of the device count.
+        training (models.py:41-44); here inference scales too, two ways:
+
+        - ``axis="batch"`` (default): images sharded on the batch dim,
+          folded params replicated, the whole forward+decode+NMS program
+          runs SPMD with zero collectives — throughput scaling.  Batch size
+          must be a multiple of the device count.
+        - ``axis="spatial"``: images sharded on the HEIGHT dim; GSPMD
+          partitions every conv with automatic halo exchanges over ICI —
+          latency scaling for small batches / large inputs, where batch
+          sharding has nothing to split.  (The space-to-depth stem is
+          disabled in this mode: its H-reshape would force a re-layout.)
         """
+        if axis not in ("batch", "spatial"):
+            raise ValueError(f"axis must be 'batch' or 'spatial', got {axis!r}")
         from .parallel.mesh import make_mesh
         self._mesh = make_mesh(num_devices or self.config.num_devices)
+        self._dist_axis = axis
         self._refresh_inference()
         return self
 
