@@ -204,6 +204,41 @@ def test_eval_map_callback_during_fit(model, tmp_path, rng):
     assert os.path.exists(tmp_path / "evalwork" / "result" / "output.txt")
 
 
+def test_eval_callback_syncs_from_hand_built_trainer(model, tmp_path, rng):
+    """EvalMapCallback must sync from the trainer DRIVING the loop, not
+    from a facade-owned one (model._trainer may be None for hand-built
+    Trainers) — otherwise it silently scores construction-time weights."""
+    from yolov4tpu.callbacks import EvalMapCallback
+    from yolov4tpu.train import Trainer
+
+    import jax
+
+    tr = Trainer(CFG, 3, model.params, model.state)
+    # mutate so trainer params are distinguishable from the model's
+    tr.params = jax.tree.map(lambda x: x + 0.01, tr.params)
+
+    import cv2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "h0.jpg"),
+                rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8))
+    anno = tmp_path / "anno.txt"
+    anno.write_text("h0.jpg 5,5,30,30,0\n")
+
+    saved_trainer = model._trainer
+    model._trainer = None  # hand-built loop: the facade never saw `tr`
+    try:
+        cb = EvalMapCallback(model, str(anno), str(img_dir),
+                             str(tmp_path / "w"), every=1, verbose=0)
+        cb(tr, {"epoch": 0})
+    finally:
+        model._trainer = saved_trainer
+    np.testing.assert_allclose(
+        np.asarray(model.params["convs"][0]["w"]),
+        np.asarray(tr.params["convs"][0]["w"]))
+    assert len(cb.history) == 1
+
+
 def test_spatial_sharded_inference_matches_single(model, rng):
     """distribute(axis='spatial'): the image HEIGHT dim is sharded and GSPMD
     inserts conv halo exchanges; results must equal single-device."""

@@ -257,6 +257,26 @@ def test_read_annotation_lines_split(dataset):
     assert train == train2 and val == val2
 
 
+def test_read_annotation_lines_host_shard(dataset):
+    """shard=(pid, n): hosts partition the same seeded split without overlap
+    or loss (the multi-host data recipe)."""
+    shards = [read_annotation_lines(dataset["anno"], shard=(i, 2))
+              for i in range(2)]
+    assert sorted(shards[0] + shards[1]) == sorted(
+        read_annotation_lines(dataset["anno"]))
+    assert not set(shards[0]) & set(shards[1])
+    # composes with the split, applied after it
+    t0, v0 = read_annotation_lines(dataset["anno"], test_size=0.4,
+                                   shard=(0, 2))
+    t1, v1 = read_annotation_lines(dataset["anno"], test_size=0.4,
+                                   shard=(1, 2))
+    t, v = read_annotation_lines(dataset["anno"], test_size=0.4)
+    assert sorted(t0 + t1) == sorted(t) and sorted(v0 + v1) == sorted(v)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shard"):
+        read_annotation_lines(dataset["anno"], shard=(2, 2))
+
+
 def test_parse_annotation_line():
     name, boxes = parse_annotation_line("a.jpg 1,2,3,4,0 5,6,7,8,2")
     assert name == "a.jpg"

@@ -535,6 +535,45 @@ def test_cosine_callback_rejects_scheduled_optimizer():
         cb.on_epoch_begin(tr, 0)
 
 
+def test_restore_checkpoint_migrates_old_optimizer_format(tmp_path):
+    """A checkpoint whose optimizer-state leaf structure predates the
+    current optimizer (e.g. plain Adam vs inject_hyperparams) restores
+    params/step/epoch and reinitializes the moments instead of crashing —
+    fit(resume_dir=...) must survive format upgrades."""
+    from yolov4tpu.train import Trainer, cosine_annealing_schedule
+
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    # schedule => plain optax.adam opt-state layout (the round-1 format)
+    old = Trainer(CFG, C, params, state,
+                  schedule=cosine_annealing_schedule(1e-3, 1e-5, 4, 1))
+    old.global_step = 7
+    path = str(tmp_path / "old.npz")
+    old.save_checkpoint(path, epoch=3)
+
+    new = Trainer(CFG, C, params, state)  # inject_hyperparams layout
+    next_epoch = new.restore_checkpoint(path)
+    assert next_epoch == 4 and new.global_step == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(new.params)[0]),
+        np.asarray(jax.tree.leaves(old.params)[0]))
+    # reinitialized optimizer state still drives a working step
+    assert new.learning_rate == pytest.approx(CFG.learning_rate)
+
+
+def test_cosine_callback_hand_rolled_loop():
+    """Invoking the scheduler only as an epoch-end callable (no
+    on_epoch_begin) still drives the LR and records history."""
+    from yolov4tpu.callbacks import CosineAnnealingScheduler
+    from yolov4tpu.train import Trainer
+
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    tr = Trainer(CFG, C, params, state)
+    cb = CosineAnnealingScheduler(1e-3, 1e-5, cycle_epochs=4)
+    cb(tr, {"epoch": 0})
+    assert tr.learning_rate == pytest.approx(cb.lr(1))
+    assert cb.history == pytest.approx([cb.lr(1)])
+
+
 def test_grad_accum_misconfig_raises():
     """accum that can't divide even a FULL batch is a misconfiguration and
     still raises (distinct from the ragged-tail drop contract)."""

@@ -201,12 +201,28 @@ class Yolov4:
         self._refresh_inference()
         return self
 
-    def sync_from_trainer(self):
-        """Pull trained params/state back into the inference path."""
-        if self._trainer is not None:
-            self.params = jax.tree.map(np.asarray, self._trainer.params)
-            self.state = jax.tree.map(np.asarray, self._trainer.state)
-            self._refresh_inference()
+    def sync_params(self, params, state):
+        """Swap in new weights WITHOUT re-jitting: the compiled inference
+        fns take folded params as an argument, so only the folded pytree
+        needs rebuilding (fold_bn runs on-device).  This is what makes
+        periodic in-training evaluation (callbacks.EvalMapCallback) cheap —
+        a full _refresh_inference would cold-start the jit cache and recompile
+        the forward+decode+NMS program every evaluation epoch."""
+        self.params = params
+        self.state = state
+        self._folded = network.fold_bn(params, state)
+        if self._mesh is not None:
+            from .parallel.mesh import replicated
+            self._folded = jax.device_put(self._folded,
+                                          replicated(self._mesh))
+
+    def sync_from_trainer(self, trainer=None):
+        """Pull trained params/state back into the inference path (from the
+        given Trainer, or the one this facade created via ``fit``)."""
+        trainer = trainer if trainer is not None else self._trainer
+        if trainer is not None:
+            self.sync_params(jax.tree.map(np.asarray, trainer.params),
+                             jax.tree.map(np.asarray, trainer.state))
 
     # ------------------------------------------------------------------
     # Persistence

@@ -42,7 +42,10 @@ class CosineAnnealingScheduler:
 
     def on_epoch_begin(self, trainer, epoch: int):
         """Set this epoch's LR before its first step (keras
-        on_epoch_begin semantics: epoch 0 trains at lr_max)."""
+        on_epoch_begin semantics: epoch 0 trains at lr_max).  Trainer.fit
+        drives this automatically; hand-rolled loops should call it at each
+        epoch start too."""
+        self._begin_driven = True
         lr = self.lr(epoch)
         trainer.set_learning_rate(lr)
         self.history.append(lr)
@@ -50,11 +53,19 @@ class CosineAnnealingScheduler:
             print(f"CosineAnnealingScheduler: epoch {epoch} lr {lr:.6g}")
 
     def __call__(self, trainer, entry: dict):
-        # Epoch-END hook (for hand-rolled loops that only invoke callbacks
-        # as callables): prime the NEXT epoch's LR.  Under Trainer.fit this
-        # is redundant — on_epoch_begin re-sets the same value and owns the
-        # history record.
-        trainer.set_learning_rate(self.lr(entry["epoch"] + 1))
+        # Epoch-END hook: prime the NEXT epoch's LR.  Under Trainer.fit this
+        # is redundant (on_epoch_begin re-sets the same value and owns the
+        # history record); in a hand-rolled loop that only invokes callbacks
+        # as callables, this keeps the schedule running from epoch 1 on —
+        # epoch 0 then trains at the optimizer's base LR, so such loops
+        # should prefer calling on_epoch_begin explicitly.
+        lr = self.lr(entry["epoch"] + 1)
+        trainer.set_learning_rate(lr)
+        if not getattr(self, "_begin_driven", False):
+            self.history.append(lr)
+            if self.verbose:
+                print(f"CosineAnnealingScheduler: epoch "
+                      f"{entry['epoch'] + 1} lr {lr:.6g}")
 
 
 class EvalMapCallback:
@@ -85,7 +96,10 @@ class EvalMapCallback:
         epoch = entry["epoch"]
         if (epoch + 1) % self.every:
             return
-        self.model.sync_from_trainer()
+        # Sync from the trainer actually driving THIS fit loop — it may be a
+        # hand-built Trainer the model facade never saw.  sync_from_trainer
+        # swaps folded weights without re-jitting the inference program.
+        self.model.sync_from_trainer(trainer)
         gt = os.path.join(self.work_dir, "ground_truth")
         pred = os.path.join(self.work_dir, "pred_result")
         for d in (gt, pred):

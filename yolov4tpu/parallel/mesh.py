@@ -21,6 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_DISTRIBUTED_INITIALIZED = False
+
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
@@ -49,6 +51,7 @@ def init_distributed(coordinator_address: Optional[str] = None,
     ``shard_batch`` then places each host's shard on its local devices; the
     gradient all-reduce spans the global mesh automatically.
     """
+    global _DISTRIBUTED_INITIALIZED
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
@@ -56,12 +59,17 @@ def init_distributed(coordinator_address: Optional[str] = None,
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    already = jax.process_count() > 1
-    if not already and (coordinator_address is not None
-                        or num_processes not in (None, 1)):
+    # The want-multi-host decision must NOT touch any jax query API first:
+    # even jax.process_count() initialises the XLA backend, after which
+    # jax.distributed.initialize raises unconditionally.  Idempotency is
+    # therefore tracked with a module flag, not probed from jax.
+    if (not _DISTRIBUTED_INITIALIZED
+            and (coordinator_address is not None
+                 or num_processes not in (None, 1))):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
+        _DISTRIBUTED_INITIALIZED = True
     return {
         "process_id": jax.process_index(),
         "num_processes": jax.process_count(),

@@ -566,8 +566,20 @@ class Trainer:
         params, wrapped, step, extra = ckpt.load_npz(path)
         self.params = params
         self.state = wrapped["model"]
-        treedef = jax.tree.structure(self.optimizer.init(params))
-        self.opt_state = jax.tree.unflatten(treedef, wrapped["opt_leaves"])
+        fresh_opt = self.optimizer.init(params)
+        treedef = jax.tree.structure(fresh_opt)
+        if treedef.num_leaves != len(wrapped["opt_leaves"]):
+            # Checkpoint from a different optimizer format (e.g. pre-
+            # inject_hyperparams plain Adam): params/step/epoch restore,
+            # Adam moments restart — better than dying at resume time.
+            print(f"restore_checkpoint: optimizer state in {path} has "
+                  f"{len(wrapped['opt_leaves'])} leaves but the current "
+                  f"optimizer expects {treedef.num_leaves}; reinitializing "
+                  "optimizer state (params/step/epoch are restored)")
+            self.opt_state = fresh_opt
+        else:
+            self.opt_state = jax.tree.unflatten(treedef,
+                                                wrapped["opt_leaves"])
         if self.mesh is not None:
             self.params = replicate(self.params, self.mesh)
             self.state = replicate(self.state, self.mesh)
