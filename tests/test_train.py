@@ -273,6 +273,41 @@ def test_shard_map_train_step(rng):
                            np.asarray(s4["bn"][0]["mean"]))
 
 
+def test_mesh_step_with_encode_on_device(rng):
+    """encode_on_device composes with the shard_map mesh step: raw-boxes
+    batches shard on the data axis and the per-replica encoder runs inside
+    the sharded program."""
+    from yolov4tpu.parallel.mesh import replicate, shard_batch
+
+    cfg = YoloConfig(img_size=(32, 32, 3), batch_size=1,
+                     csp_repeats=(1, 1, 1, 1, 1), encode_on_device=True)
+    params, state, _ = network.init(C, img_size=32, seed=0,
+                                    csp_repeats=cfg.csp_repeats)
+    mesh = make_mesh(4)
+    opt = make_optimizer(cfg)
+    step = make_train_step(C, cfg, opt, mesh=mesh, donate=False)
+
+    imgs = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    boxes = np.zeros((4, 100, 5), np.float32)
+    boxes[:, 0] = [4, 4, 20, 20, 0]
+    batch = shard_batch({"image": jnp.asarray(imgs),
+                         "raw_boxes": jnp.asarray(boxes)}, mesh)
+    p, s, o, m = step(replicate(params, mesh), replicate(state, mesh),
+                      replicate(opt.init(params), mesh), batch)
+    assert np.isfinite(float(m["loss"]))
+
+    # equals the host-encoded mesh step on the same data
+    cfg_h = cfg.replace(encode_on_device=False)
+    labels, xywh = preprocess_true_boxes(boxes, (32, 32), cfg.anchors_flat, C)
+    host_batch = shard_batch({"image": jnp.asarray(imgs),
+                              "labels": [jnp.asarray(l) for l in labels],
+                              "boxes": jnp.asarray(xywh)}, mesh)
+    step_h = make_train_step(C, cfg_h, opt, mesh=mesh, donate=False)
+    p2, s2, o2, m2 = step_h(replicate(params, mesh), replicate(state, mesh),
+                            replicate(opt.init(params), mesh), host_batch)
+    assert float(m["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+
+
 def test_dp_train_mode_gradient_equivalence(rng):
     """Train-mode (batch-stat BN) DP updates == single-device updates when
     every device holds the SAME 2-sample shard the single device runs: each
