@@ -3,11 +3,14 @@
 Measures, on the available accelerator:
   - inference img/s through the FULL pipeline the reference's
     inference_model runs (backbone+neck forward -> head decode -> combined
-    NMS, reference models.py:68-73) on a BUSY scene: head biases calibrated
-    (weights.calibrate_detection_density) so ~120 boxes/image clear the 0.3
-    score threshold and the NMS suppression loop does real work, like a
-    trained detector's output.  An empty-scene number (random-init weights,
-    ~0 candidates — the data-dependent best case) is reported alongside.
+    NMS, reference models.py:68-73) on a BUSY scene: head biases forced
+    (weights.force_busy_heads) so 338 anchor-sized overlapping boxes/image
+    across 2 classes clear the 0.3 score threshold and the NMS suppression
+    loop does trained-detector work.  An empty-scene number (random-init
+    weights, ~0 candidates — the data-dependent best case) is reported
+    alongside.
+  - the same busy scene through the int8 post-training-quantized path
+    (models/quantize.py — the MXU's double-rate int8 mode; opt-in).
   - training img/s through the fused train step (forward+loss+backward+Adam,
     reference models.py:100-107), bf16, best batch size.
 
@@ -74,19 +77,17 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # Busy-scene calibration: one small forward with the random-init params,
-    # then shift the head biases so ~120 boxes/image clear the threshold
-    # (random-init best-class scores sit at ~sigmoid(0)^2 = 0.25 < 0.3, so
-    # the uncalibrated detector sees empty scenes and the NMS suppression
-    # loop's trip count is ~0 — the best case, not the trained-model case).
+    # Busy scene: random-init activations vanish through the 110-conv depth
+    # (head logits == biases to ~1e-22), so every scene is empty and the NMS
+    # suppression loop's trip count is ~0 — the data-dependent best case, not
+    # the trained-model case.  Quantile calibration cannot fix this (zero
+    # logit variance -> knife-edge threshold that collapses under bf16
+    # rounding; see weights.force_busy_heads), so the bench FORCES two
+    # 13^2-grid channels hot: 338 above-threshold anchor-sized overlapping
+    # candidates per image, 2 classes — trained-detector-density suppression
+    # work with a margin no dtype can erase.
     folded_empty = jax.device_put(network.fold_bn(params, state))
-    probe = jnp.asarray(rng.uniform(0, 1, (8, 416, 416, 3)).astype(np.float32))
-    raws = [np.asarray(r, np.float32) for r in jax.jit(
-        lambda fp, im: network.apply_folded(fp, im, num_classes,
-                                            compute_dtype))(
-        folded_empty, probe)]
-    params_busy, _delta = w.calibrate_detection_density(
-        params, raws, num_classes, cfg.score_threshold, target_per_image=120.0)
+    params_busy = w.force_busy_heads(params, num_classes)
     folded_busy = jax.device_put(network.fold_bn(params_busy, state))
 
     def measure_infer(folded, batch):
@@ -111,6 +112,43 @@ def main():
         if busy > busy_best:
             busy_best, busy_bs = busy, batch
         empty_best = max(empty_best, empty)
+
+    # int8 post-training quantization (models/quantize.py): the MXU's
+    # double-rate int8 path, measured on the same busy scene.  Opt-in
+    # accuracy trade (Yolov4.quantize), reported alongside.
+    int8_busy = 0.0
+    try:
+        from yolov4tpu.models.quantize import apply_quantized, quantize
+
+        calib = rng.uniform(0, 1, (16, 416, 416, 3)).astype(np.float32)
+        qparams, _scales = quantize(
+            jax.device_get(folded_busy), calib, num_classes, compute_dtype)
+        qparams = jax.device_put(qparams)
+
+        @jax.jit
+        def infer_q(qp, images):
+            raws = apply_quantized(qp, images, num_classes, compute_dtype)
+            return detect_fused(
+                raws, anchors, num_classes, cfg.strides, cfg.xyscale, 416,
+                iou_threshold=cfg.iou_threshold,
+                score_threshold=cfg.score_threshold,
+                candidates=cfg.nms_pre_top_k,
+                interpret=jax.default_backend() != "tpu")
+
+        def measure_q(batch):
+            images = jnp.asarray(
+                rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32))
+            sync(infer_q(qparams, images))
+            iters = max(5, int(4000 / batch))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = infer_q(qparams, images)
+            sync(out)
+            return batch * iters / (time.perf_counter() - t0)
+
+        int8_busy = measure_q(busy_bs or 128)
+    except Exception:
+        pass
 
     # Training throughput: fused jitted step (fwd+loss+bwd+Adam), bf16.
     def measure_train(batch):
@@ -160,8 +198,9 @@ def main():
             "vs_per_chip_target": round(busy_best / 625.0, 4),
             "dtype": "bfloat16",
             "includes": "forward+decode+combined_nms",
-            "detections_per_image_target": 120,
+            "candidates_per_image": 338,
             "empty_scene_img_s": round(empty_best, 2),
+            "int8_busy_img_s": round(int8_busy, 2),
             "train_throughput_416": round(train_best, 2),
             "train_batch_size": train_bs,
         },

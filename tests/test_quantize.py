@@ -1,0 +1,188 @@
+"""int8 post-training quantization tests (models/quantize.py).
+
+Quantization math is checked exactly (weight round-trip bounds, calibration
+maxima, int8 conv accumulation is integer-exact on XLA:CPU); accuracy of the
+full quantized forward is checked relative to the bf16/f32 folded path on a
+He-scaled network — N(0,0.01) reference init is degenerate at depth (activations
+vanish to ~1e-22 and the outputs are all head bias), so these tests rescale
+weights to keep activations O(1), the regime a trained detector lives in.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from yolov4tpu.models import network, quantize
+from yolov4tpu.models.quantize import QMAX
+
+C = 3
+REPS = (1, 1, 1, 1, 1)
+IMG = 64
+
+
+def he_scaled_model(rng, img=IMG):
+    params, state, specs = network.init(C, img_size=img, seed=0,
+                                        csp_repeats=REPS)
+    for p in params["convs"]:
+        k, _, cin, cout = p["w"].shape
+        p["w"] = rng.normal(0, np.sqrt(2.0 / (k * k * cin)),
+                            p["w"].shape).astype(np.float32)
+    return params, state, specs
+
+
+@pytest.fixture(scope="module")
+def quantized_setup():
+    rng = np.random.default_rng(7)
+    params, state, specs = he_scaled_model(rng)
+    imgs = rng.uniform(0, 1, (4, IMG, IMG, 3)).astype(np.float32)
+    folded = network.fold_bn(params, state)
+    qp, scales = quantize.quantize(folded, imgs, C, jnp.float32, REPS)
+    return params, state, specs, imgs, folded, qp, scales
+
+
+def test_weight_roundtrip_and_eligibility(quantized_setup):
+    _, _, specs, _, folded, qp, scales = quantized_setup
+    assert len(scales) == len(specs)
+    n_q = 0
+    for spec, p, q in zip(specs, folded["convs"], qp["convs"]):
+        if not spec.batch_norm or spec.index < 2:
+            # stem + head convs stay float, byte-identical
+            assert "wq" not in q
+            np.testing.assert_array_equal(np.asarray(q["w"]),
+                                          np.asarray(p["w"]))
+            continue
+        n_q += 1
+        assert q["wq"].dtype == jnp.int8
+        w = np.asarray(p["w"], np.float32)
+        sw = np.asarray(q["out_scale"]) * np.asarray(q["inv_sx"])  # = w scale
+        deq = np.asarray(q["wq"], np.float32) * sw[None, None, None, :]
+        # round-to-nearest: error <= half a quantization step per channel
+        assert np.all(np.abs(deq - w) <= 0.5 * sw[None, None, None, :] + 1e-8)
+    assert n_q > 0
+
+
+def test_calibration_records_conv_input_maxima(quantized_setup):
+    _, _, _, imgs, _, _, scales = quantized_setup
+    # conv 0's input is the image itself
+    assert scales[0] == pytest.approx(np.abs(imgs).max() / QMAX, rel=1e-5)
+    assert np.all(scales > 0)
+
+
+def test_quantized_raw_grids_track_float(quantized_setup):
+    """Relative RMS error of the int8 forward vs the float folded forward
+    stays small in the O(1)-activation regime."""
+    _, _, _, imgs, folded, qp, _ = quantized_setup
+    out_f = network.apply_folded(folded, jnp.asarray(imgs), C, jnp.float32,
+                                 REPS, s2d_stem=False)
+    out_q = quantize.apply_quantized(qp, jnp.asarray(imgs), C, jnp.float32,
+                                     REPS, s2d_stem=False)
+    for a, b in zip(out_f, out_q):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a ** 2))
+        # measured ~0.07-0.10 on this configuration (int8 error compounds
+        # through ~70 convs); 0.15 guards regression without flaking
+        assert rel < 0.15, f"relative RMS {rel}"
+
+
+def test_quantized_detections_match_float(quantized_setup):
+    """Detection-level contract: the quantized path finds the same objects
+    (same classes, tightly overlapping boxes) as the float path."""
+    from yolov4tpu.ops.detect import detect_fused
+    from yolov4tpu.config import YoloConfig
+
+    _, _, _, imgs, folded, qp, _ = quantized_setup
+    cfg = YoloConfig(img_size=(IMG, IMG, 3), csp_repeats=REPS)
+
+    def detect(raws):
+        return detect_fused(raws, cfg.anchors_grouped, C, cfg.strides,
+                            cfg.xyscale, IMG, iou_threshold=0.45,
+                            score_threshold=0.05, interpret=True)
+
+    raw_f = network.apply_folded(folded, jnp.asarray(imgs), C, jnp.float32,
+                                 REPS, s2d_stem=False)
+    raw_q = quantize.apply_quantized(qp, jnp.asarray(imgs), C, jnp.float32,
+                                     REPS, s2d_stem=False)
+    bf, sf, cf, vf = [np.asarray(o) for o in detect(raw_f)]
+    bq, sq, cq, vq = [np.asarray(o) for o in detect(raw_q)]
+
+    def iou(a, b):
+        y1, x1 = np.maximum(a[:2], b[:2])
+        y2, x2 = np.minimum(a[2:], b[2:])
+        inter = max(0.0, y2 - y1) * max(0.0, x2 - x1)
+        area = ((a[2] - a[0]) * (a[3] - a[1])
+                + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(area, 1e-9)
+
+    # Random-weight "detections" are noise boxes whose scores sit close
+    # together, so int8 error reorders ranks freely — rank-wise equality is
+    # the wrong contract.  The right one: every CONFIDENT float detection
+    # has a same-class, overlapping counterpart in the quantized output.
+    checked = matched = 0
+    for i in range(len(imgs)):
+        nf, nq = int(vf[i]), int(vq[i])
+        assert abs(nf - nq) <= max(3, int(0.25 * max(nf, nq)))
+        for j in range(nf):
+            if sf[i, j] < 0.10:  # clear of the 0.05 threshold
+                continue
+            checked += 1
+            if any(cf[i, j] == cq[i, k] and iou(bf[i, j], bq[i, k]) > 0.5
+                   for k in range(nq)):
+                matched += 1
+    assert checked > 0, "calibration produced no confident detections"
+    assert matched / checked >= 0.8, f"{matched}/{checked} matched"
+
+
+def test_s2d_stem_composes_with_quantized_path(quantized_setup):
+    """The stem convs stay float, so the space-to-depth stem reparametrisation
+    remains available under quantization.  The fusion is exact in exact
+    arithmetic, but its f32 reassociation (~1e-7) can flip an int8 bin at a
+    requantization boundary downstream, and flips compound through ~70
+    requantizing layers — so the contract is statistical closeness, not
+    bit-equality (unlike the float path, where it IS tested exact)."""
+    _, _, _, imgs, _, qp, _ = quantized_setup
+    a = quantize.apply_quantized(qp, jnp.asarray(imgs), C, jnp.float32,
+                                 REPS, s2d_stem=False)
+    b = quantize.apply_quantized(qp, jnp.asarray(imgs), C, jnp.float32,
+                                 REPS, s2d_stem=True)
+    for x, y in zip(a, b):
+        x, y = np.asarray(x), np.asarray(y)
+        rel = np.sqrt(np.mean((x - y) ** 2)) / np.sqrt(np.mean(x ** 2))
+        assert rel < 0.05, f"relative RMS {rel}"
+
+
+def test_api_quantize_roundtrip(tmp_path, rng):
+    """Yolov4.quantize() switches predict_batch to int8 and dequantize()
+    restores the bit-exact float path; sync_params re-quantizes."""
+    from yolov4tpu.api import Yolov4
+    from yolov4tpu.config import YoloConfig
+
+    classes = tmp_path / "classes.txt"
+    classes.write_text("a\nb\nc\n")
+    cfg = YoloConfig(img_size=(IMG, IMG, 3), csp_repeats=REPS,
+                     nms_pre_top_k=64)
+    m = Yolov4(class_name_path=str(classes), config=cfg)
+    params, state, _ = he_scaled_model(np.random.default_rng(3))
+    m.sync_params(params, state)
+
+    imgs = rng.uniform(0, 1, (2, IMG, IMG, 3)).astype(np.float32)
+    ref = [np.asarray(o) for o in m.predict_batch(imgs)]
+
+    m.quantize(calib_imgs=imgs)
+    assert any("wq" in p for p in m._folded["convs"])
+    q = [np.asarray(o) for o in m.predict_batch(imgs)]
+    assert q[0].shape == ref[0].shape
+
+    # sync_params under quantization keeps the int8 representation
+    m.sync_params(params, state)
+    assert any("wq" in p for p in m._folded["convs"])
+
+    m.dequantize()
+    back = [np.asarray(o) for o in m.predict_batch(imgs)]
+    for a, b in zip(ref, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_scale_mismatch_raises(quantized_setup):
+    _, _, _, _, folded, _, scales = quantized_setup
+    with pytest.raises(ValueError):
+        quantize.quantize_folded(folded, scales[:-1], C, REPS)

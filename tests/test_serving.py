@@ -75,3 +75,20 @@ def test_export_custom_thresholds(tiny_model, tmp_path):
     boxes, scores, classes, valid = [np.asarray(o) for o in detect(imgs)]
     # Random-init scores sit ~0.25: the 0.05-threshold export must fire.
     assert int(valid[0]) > 0
+
+
+def test_export_quantized_model(tiny_model, tmp_path, rng):
+    """Exporting a quantized model bakes the int8 program into the artifact;
+    the loaded artifact matches the live quantized predict_batch."""
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    tiny_model.quantize(calib_imgs=imgs)
+    try:
+        path = str(tmp_path / "det_int8.shlo")
+        serving.export_detector(tiny_model, path, batch_size=2)
+        detect = serving.load_detector(path)
+        got = [np.asarray(o) for o in detect(imgs)]
+        want = [np.asarray(o) for o in tiny_model.predict_batch(imgs)]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-5)
+    finally:
+        tiny_model.dequantize()

@@ -101,3 +101,86 @@ def test_loaded_weights_drive_forward(tmp_path):
                                        (1, 2, 2, 24)]
     for o in outs:
         assert bool(jnp.isfinite(o).all())
+
+
+def test_calibrate_density_spread_transform_is_exact(rng):
+    """spread rescales the obj/class logit families EXACTLY: re-forwarding
+    with the transformed head weights reproduces k*(l-mean)+mean+delta, and
+    the calibrated density is hit on the transformed logits."""
+    import jax.numpy as jnp
+    from yolov4tpu.models import network
+
+    C, reps = 3, (1, 1, 1, 1, 1)
+    params, state, _ = network.init(C, img_size=32, seed=0, csp_repeats=reps)
+    # He-scale: reference N(0,0.01) init vanishes at depth, leaving the obj
+    # logits with ~zero variance — nothing to spread.  O(1) activations put
+    # the test in the regime the bench's 416^2 calibration runs in.
+    for p in params["convs"]:
+        k, _, cin, _ = p["w"].shape
+        p["w"] = rng.normal(0, np.sqrt(2.0 / (k * k * cin)),
+                            p["w"].shape).astype(np.float32)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    folded = network.fold_bn(params, state)
+    raws = [np.asarray(r, np.float32) for r in network.apply_folded(
+        folded, imgs, C, jnp.float32, reps, s2d_stem=False)]
+
+    target = 6.0
+    busy, delta = weights.calibrate_detection_density(
+        params, raws, C, 0.3, target_per_image=target, spread=1.0)
+
+    raws_b = [np.asarray(r, np.float32) for r in network.apply_folded(
+        network.fold_bn(busy, state), imgs, C, jnp.float32, reps,
+        s2d_stem=False)]
+
+    def flat(rs):
+        return np.concatenate([r.reshape(r.shape[0], -1, 5 + C)
+                               for r in rs], axis=1)
+    old, new = flat(raws), flat(raws_b)
+
+    # box logits untouched
+    np.testing.assert_allclose(new[..., :4], old[..., :4], atol=1e-5)
+    # obj/class: affine with the SAME (k, shift) for every position — and
+    # std(new obj logits) == spread
+    o_old, o_new = old[..., 4].ravel(), new[..., 4].ravel()
+    k = (o_new.std() / o_old.std())
+    shift = (o_new - k * o_old).mean()
+    np.testing.assert_allclose(o_new, k * o_old + shift, atol=1e-4)
+    assert o_new.std() == pytest.approx(1.0, rel=1e-3)
+
+    # density on the re-forwarded logits ~ target (the whole point: it
+    # survives re-forwarding, not just the bisection's in-memory logits)
+    s = (1 / (1 + np.exp(-new[..., 4]))) * \
+        (1 / (1 + np.exp(-new[..., 5:].max(-1))))
+    per_img = (s > 0.3).sum() / len(imgs)
+    assert 0.5 * target <= per_img <= 1.5 * target
+
+
+def test_force_busy_heads_density_survives_bf16(rng):
+    """The forced busy scene is precision-proof: the hot channels clear the
+    score threshold at EVERY cell of their grid in bf16 compute, and nothing
+    else fires — unlike quantile calibration, which collapses when the
+    logits have no variance (reference init at depth)."""
+    import jax.numpy as jnp
+    from yolov4tpu.models import network
+
+    C, reps = 3, (1, 1, 1, 1, 1)
+    params, state, _ = network.init(C, img_size=32, seed=0, csp_repeats=reps)
+    busy = weights.force_busy_heads(params, C, hot=((2, 0, 0), (2, 1, 1)))
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    raws = [np.asarray(r, np.float32) for r in network.apply_folded(
+        network.fold_bn(busy, state), imgs, C, jnp.bfloat16, reps)]
+
+    per_img = 0.0
+    for r in raws:
+        flat = r.reshape(r.shape[0], -1, 3, 5 + C)
+        s = (1 / (1 + np.exp(-flat[..., 4]))) * \
+            (1 / (1 + np.exp(-flat[..., 5:].max(-1))))
+        per_img += (s > 0.3).sum() / len(imgs)
+    # hot: two channels of the 13^2-equivalent head (here 2x2 at 32px input,
+    # hence 2*4 cells); sigmoid(2)^2 = 0.77 >> 0.3 with margin bf16 keeps
+    g = raws[2].shape[1]
+    assert per_img == 2 * g * g
+
+    # original params untouched (deep-copied head convs)
+    b0 = np.asarray(params["convs"][-1]["b"]).reshape(3, 5 + C)
+    assert not np.any(b0[:, 4] == -6.0)

@@ -34,7 +34,8 @@ from .utils.visualize import draw_bbox, get_detection_data
 
 
 def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
-                   interpret: Optional[bool] = None, jit_kw: Optional[dict] = None):
+                   interpret: Optional[bool] = None, jit_kw: Optional[dict] = None,
+                   quantized: bool = False):
     """Jitted end-to-end inference fn: (folded, images, iou_t, score_t) ->
     (boxes, scores, classes, valid_detections).
 
@@ -44,17 +45,25 @@ def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
     session backend — e.g. serving.export_detector exporting a TPU artifact
     from a CPU host (interpret=False) or a CPU artifact from a TPU host
     (interpret=True).
+
+    quantized: the folded argument is an int8 pytree from
+    models.quantize.quantize_folded and the forward runs on the MXU's
+    double-rate int8 path (see Yolov4.quantize).
     """
     anchors = cfg.anchors_grouped
     strides, xyscale, img_size = cfg.strides, cfg.xyscale, cfg.img_size
+    if quantized:
+        from .models.quantize import apply_quantized as _apply
+    else:
+        _apply = network.apply_folded
 
     @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
                        **(jit_kw or {}))
     def infer_fn(folded, images, iou_t, score_t):
-        raws = network.apply_folded(folded, images, num_classes,
-                                    compute_dtype,
-                                    csp_repeats=cfg.csp_repeats,
-                                    s2d_stem=cfg.s2d_stem)
+        raws = _apply(folded, images, num_classes,
+                      compute_dtype,
+                      csp_repeats=cfg.csp_repeats,
+                      s2d_stem=cfg.s2d_stem)
         interp = (jax.default_backend() != "tpu" if interpret is None
                   else interpret)
         if cfg.nms_impl == "fast":
@@ -110,6 +119,7 @@ class Yolov4:
         self._seed = seed
         self._trainer = None
         self._mesh = None
+        self._act_scales = None  # set by quantize(): int8 inference on
         self.build_model(load_pretrained=bool(weight_path))
 
     # ------------------------------------------------------------------
@@ -147,6 +157,11 @@ class Yolov4:
     def _refresh_inference(self):
         """(Re)fold BN and build the jitted raw/inference functions."""
         self._folded = network.fold_bn(self.params, self.state)
+        if getattr(self, "_act_scales", None) is not None:
+            from .models.quantize import quantize_folded
+            self._folded = quantize_folded(self._folded, self._act_scales,
+                                           self.num_classes,
+                                           self.config.csp_repeats)
         self._compute_dtype = (jnp.bfloat16
                                if self.config.compute_dtype == "bfloat16"
                                else jnp.float32)
@@ -165,16 +180,23 @@ class Yolov4:
             jit_kw = {"in_shardings": (repl, data)}
             self._folded = jax.device_put(self._folded, repl)
 
+        quantized = getattr(self, "_act_scales", None) is not None
+        if quantized:
+            from .models.quantize import apply_quantized as _raw_apply
+        else:
+            _raw_apply = network.apply_folded
+
         @functools.partial(jax.jit, **jit_kw)
         def raw_fn(folded, images):
-            return network.apply_folded(folded, images, num_classes,
-                                        self._compute_dtype,
-                                        csp_repeats=cfg.csp_repeats,
-                                        s2d_stem=cfg.s2d_stem)
+            return _raw_apply(folded, images, num_classes,
+                              self._compute_dtype,
+                              csp_repeats=cfg.csp_repeats,
+                              s2d_stem=cfg.s2d_stem)
 
         self._raw_fn = raw_fn
         self._infer_fn = build_infer_fn(cfg, num_classes,
-                                        self._compute_dtype, jit_kw=jit_kw)
+                                        self._compute_dtype, jit_kw=jit_kw,
+                                        quantized=quantized)
 
     def distribute(self, num_devices: Optional[int] = None,
                    axis: str = "batch"):
@@ -201,6 +223,44 @@ class Yolov4:
         self._refresh_inference()
         return self
 
+    def quantize(self, calib_imgs=None, calib_paths: Optional[Sequence[str]] = None):
+        """Switch inference to int8 (post-training quantization).
+
+        TPU v5e's MXU runs int8 at twice the bf16 rate; this calibrates
+        per-conv activation scales on representative images and rebuilds the
+        inference programs over int8 weights (models/quantize.py).  Opt-in:
+        int8 trades the bf16 path's 1e-3 golden fidelity for throughput —
+        validate mAP on your eval set (eval_map) after quantizing.
+
+        calib_imgs: (N,H,W,3) float [0,1] model-space images, and/or
+        calib_paths: image files run through preprocess_img.  A few dozen
+        frames from the deployment distribution suffice (max-abs calibration).
+        """
+        from .models.quantize import calibrate
+        import cv2
+        imgs = []
+        if calib_imgs is not None:
+            imgs.append(np.asarray(calib_imgs, np.float32))
+        if calib_paths:
+            imgs.append(np.stack([
+                self.preprocess_img(cv2.cvtColor(cv2.imread(p),
+                                                 cv2.COLOR_BGR2RGB))
+                for p in calib_paths]).astype(np.float32))
+        if not imgs:
+            raise ValueError("quantize() needs calib_imgs and/or calib_paths")
+        self._act_scales = calibrate(
+            network.fold_bn(self.params, self.state), np.concatenate(imgs),
+            self.num_classes, self._compute_dtype,
+            csp_repeats=self.config.csp_repeats)
+        self._refresh_inference()
+        return self
+
+    def dequantize(self):
+        """Return inference to the full-precision folded path."""
+        self._act_scales = None
+        self._refresh_inference()
+        return self
+
     def sync_params(self, params, state):
         """Swap in new weights WITHOUT re-jitting: the compiled inference
         fns take folded params as an argument, so only the folded pytree
@@ -211,6 +271,13 @@ class Yolov4:
         self.params = params
         self.state = state
         self._folded = network.fold_bn(params, state)
+        if getattr(self, "_act_scales", None) is not None:
+            # Re-quantize with the stored calibration (weight scales are
+            # recomputed from the new weights; activation scales persist).
+            from .models.quantize import quantize_folded
+            self._folded = quantize_folded(self._folded, self._act_scales,
+                                           self.num_classes,
+                                           self.config.csp_repeats)
         if self._mesh is not None:
             from .parallel.mesh import replicated
             self._folded = jax.device_put(self._folded,

@@ -183,7 +183,8 @@ def random_darknet_bytes(num_classes: int, seed: int = 0) -> bytes:
 
 def calibrate_detection_density(params: dict, raw_outputs, num_classes: int,
                                 score_threshold: float = 0.3,
-                                target_per_image: float = 120.0):
+                                target_per_image: float = 120.0,
+                                spread: float = None):
     """Shift the head-conv obj/class biases so a random-init detector emits a
     realistic detection density (~``target_per_image`` boxes whose best-class
     score clears ``score_threshold``).
@@ -200,6 +201,18 @@ def calibrate_detection_density(params: dict, raw_outputs, num_classes: int,
     each biased head conv's [dx,dy,dw,dh,obj,classes...] blocks shifted on
     obj+classes.  Used by the end-to-end golden-parity test and the
     busy-scene bench (VERDICT r1 items 1-2).
+
+    spread: also rescale the obj/class logit distributions to this standard
+    deviation (exactly — logits are linear in the head-conv weight rows, so
+    ``l' = k*(l-mean)+mean`` is ``w' = k*w, b' = k*b+(1-k)*mean``).  Random
+    init leaves those logits clustered so tightly (std ~0.05) that the
+    target quantile sits on a knife edge: even bf16 rounding of the shifted
+    bias (~2e-3 in logit space) flips the whole candidate population across
+    the threshold — measured on v5e: the "calibrated-busy" detector emitted
+    0 candidates when re-forwarded in bf16.  With spread ~1.0 the density
+    responds smoothly to delta and survives low-precision re-forwarding;
+    leave None for f32 cross-framework parity tests, where exactness of the
+    UNSCALED logits matters more.
     """
     obj_logits, cls_logits = [], []
     for raw in raw_outputs:
@@ -210,6 +223,17 @@ def calibrate_detection_density(params: dict, raw_outputs, num_classes: int,
     obj = np.concatenate(obj_logits, axis=1)
     mcls = np.concatenate(cls_logits, axis=1)
     n_img = obj.shape[0]
+
+    k_obj = k_cls = 1.0
+    mu_obj = mu_cls = 0.0
+    if spread is not None:
+        mu_obj, mu_cls = float(obj.mean()), float(mcls.mean())
+        k_obj = min(spread / max(float(obj.std()), 1e-6), 1e3)
+        k_cls = min(spread / max(float(mcls.std()), 1e-6), 1e3)
+        obj = k_obj * (obj - mu_obj) + mu_obj
+        # max over classes commutes with the monotone per-logit transform,
+        # so transforming the max IS transforming each class logit
+        mcls = k_cls * (mcls - mu_cls) + mu_cls
 
     def sigmoid(v):
         return 1.0 / (1.0 + np.exp(-v))
@@ -252,7 +276,52 @@ def calibrate_detection_density(params: dict, raw_outputs, num_classes: int,
         p = dict(p)
         if "b" in p:
             b = np.array(p["b"], np.float32).reshape(3, 5 + num_classes)
-            b[:, 4:] += delta
+            b[:, 4] = k_obj * b[:, 4] + (1 - k_obj) * mu_obj + delta
+            b[:, 5:] = k_cls * b[:, 5:] + (1 - k_cls) * mu_cls + delta
             p["b"] = b.ravel()
+            if spread is not None:
+                w = np.array(p["w"], np.float32)
+                wr = w.reshape(*w.shape[:3], 3, 5 + num_classes)
+                wr[..., 4] *= k_obj
+                wr[..., 5:] *= k_cls
+                p["w"] = wr.reshape(w.shape)
         new_convs.append(p)
     return {**params, "convs": new_convs}, delta
+
+
+def force_busy_heads(params: dict, num_classes: int,
+                     hot=((2, 0, 0), (2, 1, 1)),
+                     on_logit: float = 2.0, off_logit: float = -6.0):
+    """Overwrite head-conv obj/class biases so chosen channels fire at EVERY
+    grid cell — a deterministic, precision-proof busy scene for benchmarks.
+
+    ``calibrate_detection_density`` needs logit VARIANCE to place a robust
+    quantile, and the reference's N(0,0.01) init has none: activations decay
+    multiplicatively through the 110-conv depth to ~1e-22, so head logits
+    equal their biases almost exactly and the bisected threshold sits on a
+    knife edge — measured on v5e, the "calibrated" detector emits 0
+    candidates when re-forwarded in bf16.  This helper instead SETS the
+    outcome: each ``(head, anchor, cls)`` in ``hot`` (head 0/1/2 = the
+    52/26/13-grid head convs in serial order, reference
+    custom_layers.py:171-196) gets obj and that class's bias ``on_logit``
+    (score = sigmoid(on)^2, e.g. 0.77 at 2.0 — clears the 0.3 threshold by
+    a margin no dtype can erase); everything else gets ``off_logit``
+    (score ~ 0).  Candidates/image = sum of the hot heads' grid cells
+    (169/channel at 13^2 for 416 input); their boxes are anchor-sized
+    overlapping neighbors, so the NMS suppression loop does trained-model
+    work.  Returns new params (deep-copied head convs).
+    """
+    new_convs, head_i = [], 0
+    for p in params["convs"]:
+        p = dict(p)
+        if "b" in p:
+            b = np.array(p["b"], np.float32).reshape(3, 5 + num_classes)
+            b[:, 4:] = off_logit
+            for h, anchor, cls in hot:
+                if h == head_i:
+                    b[anchor, 4] = on_logit
+                    b[anchor, 5 + cls] = on_logit
+            p["b"] = b.ravel()
+            head_i += 1
+        new_convs.append(p)
+    return {**params, "convs": new_convs}
