@@ -121,13 +121,15 @@ def main():
         from yolov4tpu.models.quantize import apply_quantized, quantize
 
         calib = rng.uniform(0, 1, (16, 416, 416, 3)).astype(np.float32)
-        qparams, _scales = quantize(
+        qparams, qscales = quantize(
             jax.device_get(folded_busy), calib, num_classes, compute_dtype)
         qparams = jax.device_put(qparams)
 
         @jax.jit
         def infer_q(qp, images):
-            raws = apply_quantized(qp, images, num_classes, compute_dtype)
+            # qscales closed over STATICALLY (the pytree copy would be traced)
+            raws = apply_quantized(qp, images, num_classes, compute_dtype,
+                                   scales=qscales)
             return detect_fused(
                 raws, anchors, num_classes, cfg.strides, cfg.xyscale, 416,
                 iou_threshold=cfg.iou_threshold,

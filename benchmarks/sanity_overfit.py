@@ -97,8 +97,23 @@ def main():
                          plot=False, verbose=False)
     out = {"mAP": res.pop("mAP"), "per_class": res, "steps": args.steps,
            "final_loss": round(float(m["loss"]), 4)}
+
+    # int8 accuracy on a genuinely TRAINED model (the synthetic-weight
+    # quantize tests only see He-scaled noise): quantize with the training
+    # images as calibration, rerun the full export+eval pipeline, and
+    # require mAP unchanged.  This is the strongest accuracy evidence PTQ
+    # gets without real COCO weights in the environment.
+    model.quantize(calib_imgs=imgs)
+    dirs_q = {k: f"{tmp}/{k}_int8" for k in ("pred", "json", "out")}
+    model.export_prediction(tmp + "/anno.txt", dirs_q["pred"], tmp + "/imgs",
+                            verbose=False)
+    res_q = model.eval_map(dirs["gt"], dirs_q["pred"], dirs_q["json"],
+                           dirs_q["out"], plot=False, verbose=False)
+    out["mAP_int8"] = res_q.pop("mAP")
+
     print(json.dumps(out))
     assert out["mAP"] == 1.0, f"learning sanity failed: {out}"
+    assert out["mAP_int8"] == 1.0, f"int8 degraded the detector: {out}"
 
 
 if __name__ == "__main__":

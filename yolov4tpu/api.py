@@ -35,7 +35,8 @@ from .utils.visualize import draw_bbox, get_detection_data
 
 def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
                    interpret: Optional[bool] = None, jit_kw: Optional[dict] = None,
-                   quantized: bool = False):
+                   quantized: Optional[dict] = None,
+                   quantized_dataflow: str = "int8"):
     """Jitted end-to-end inference fn: (folded, images, iou_t, score_t) ->
     (boxes, scores, classes, valid_detections).
 
@@ -46,14 +47,18 @@ def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
     from a CPU host (interpret=False) or a CPU artifact from a TPU host
     (interpret=True).
 
-    quantized: the folded argument is an int8 pytree from
-    models.quantize.quantize_folded and the forward runs on the MXU's
-    double-rate int8 path (see Yolov4.quantize).
+    quantized: None for the float path, or the CONCRETE calibration-scales
+    dict (models.quantize.calibrate) — then the folded argument is an int8
+    pytree from quantize_folded and the forward runs on the MXU's
+    double-rate int8 path with static scales (see Yolov4.quantize).
+    quantized_dataflow: "int8" (inter-op tensors stay int8) or "bf16".
     """
     anchors = cfg.anchors_grouped
     strides, xyscale, img_size = cfg.strides, cfg.xyscale, cfg.img_size
-    if quantized:
-        from .models.quantize import apply_quantized as _apply
+    if quantized is not None:
+        from .models.quantize import apply_quantized
+        _apply = functools.partial(apply_quantized, scales=quantized,
+                                   dataflow=quantized_dataflow)
     else:
         _apply = network.apply_folded
 
@@ -180,9 +185,12 @@ class Yolov4:
             jit_kw = {"in_shardings": (repl, data)}
             self._folded = jax.device_put(self._folded, repl)
 
-        quantized = getattr(self, "_act_scales", None) is not None
-        if quantized:
-            from .models.quantize import apply_quantized as _raw_apply
+        scales = getattr(self, "_act_scales", None)
+        dataflow = getattr(self, "_q_dataflow", "int8")
+        if scales is not None:
+            from .models.quantize import apply_quantized
+            _raw_apply = functools.partial(apply_quantized, scales=scales,
+                                           dataflow=dataflow)
         else:
             _raw_apply = network.apply_folded
 
@@ -196,7 +204,8 @@ class Yolov4:
         self._raw_fn = raw_fn
         self._infer_fn = build_infer_fn(cfg, num_classes,
                                         self._compute_dtype, jit_kw=jit_kw,
-                                        quantized=quantized)
+                                        quantized=scales,
+                                        quantized_dataflow=dataflow)
 
     def distribute(self, num_devices: Optional[int] = None,
                    axis: str = "batch"):
@@ -223,18 +232,22 @@ class Yolov4:
         self._refresh_inference()
         return self
 
-    def quantize(self, calib_imgs=None, calib_paths: Optional[Sequence[str]] = None):
+    def quantize(self, calib_imgs=None, calib_paths: Optional[Sequence[str]] = None,
+                 dataflow: str = "int8"):
         """Switch inference to int8 (post-training quantization).
 
         TPU v5e's MXU runs int8 at twice the bf16 rate; this calibrates
-        per-conv activation scales on representative images and rebuilds the
-        inference programs over int8 weights (models/quantize.py).  Opt-in:
-        int8 trades the bf16 path's 1e-3 golden fidelity for throughput —
-        validate mAP on your eval set (eval_map) after quantizing.
+        per-tensor activation scales on representative images and rebuilds
+        the inference programs over int8 weights (models/quantize.py).
+        Opt-in: int8 trades the bf16 path's 1e-3 golden fidelity for
+        throughput — validate mAP on your eval set (eval_map) after
+        quantizing.
 
         calib_imgs: (N,H,W,3) float [0,1] model-space images, and/or
         calib_paths: image files run through preprocess_img.  A few dozen
         frames from the deployment distribution suffice (max-abs calibration).
+        dataflow: "int8" keeps inter-op activations int8 (half the HBM
+        traffic); "bf16" is the conservative per-conv scheme.
         """
         from .models.quantize import calibrate
         import cv2
@@ -252,6 +265,7 @@ class Yolov4:
             network.fold_bn(self.params, self.state), np.concatenate(imgs),
             self.num_classes, self._compute_dtype,
             csp_repeats=self.config.csp_repeats)
+        self._q_dataflow = dataflow
         self._refresh_inference()
         return self
 

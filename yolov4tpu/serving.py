@@ -64,10 +64,10 @@ def export_detector(model, path: str, batch_size: int = 1,
     folded = model._folded
     # A quantized model (Yolov4.quantize) holds int8 params; the exported
     # artifact then bakes in the int8 program — int8 serving for free.
-    infer_fn = build_infer_fn(cfg, model.num_classes, model._compute_dtype,
-                              interpret=interpret,
-                              quantized=getattr(model, "_act_scales", None)
-                              is not None)
+    infer_fn = build_infer_fn(
+        cfg, model.num_classes, model._compute_dtype, interpret=interpret,
+        quantized=getattr(model, "_act_scales", None),
+        quantized_dataflow=getattr(model, "_q_dataflow", "int8"))
 
     def fn(images):
         return infer_fn(folded, images, iou_t, score_t)
