@@ -101,13 +101,18 @@ def main():
         sync(out)
         return batch * iters / (time.perf_counter() - t0)
 
+    # A failed section reports 0.0 PLUS the exception in extras["errors"]:
+    # a silent zero reads as "measured at 0" and hides the regression.
+    errors = []
+
     busy_best, busy_bs = 0.0, None
     empty_best = 0.0
     for batch in (128, 192):
         try:
             busy = measure_infer(folded_busy, batch)
             empty = measure_infer(folded_empty, batch)
-        except Exception:
+        except Exception as e:
+            errors.append(f"infer b{batch}: {type(e).__name__}: {e}")
             break
         if busy > busy_best:
             busy_best, busy_bs = busy, batch
@@ -149,8 +154,8 @@ def main():
             return batch * iters / (time.perf_counter() - t0)
 
         int8_busy = measure_q(busy_bs or 128)
-    except Exception:
-        pass
+    except Exception as e:
+        errors.append(f"int8: {type(e).__name__}: {e}")
 
     # Training throughput: fused jitted step (fwd+loss+bwd+Adam), bf16.
     def measure_train(batch):
@@ -185,7 +190,8 @@ def main():
         try:
             train_best, train_bs = measure_train(batch), batch
             break
-        except Exception:
+        except Exception as e:
+            errors.append(f"train b{batch}: {type(e).__name__}: {e}")
             continue
 
     result = {
@@ -205,6 +211,7 @@ def main():
             "int8_busy_img_s": round(int8_busy, 2),
             "train_throughput_416": round(train_best, 2),
             "train_batch_size": train_bs,
+            "errors": errors,
         },
     }
     print(json.dumps(result))

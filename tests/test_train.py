@@ -465,9 +465,9 @@ def test_grad_accum_ragged_batch_drop_last():
 
 
 def test_init_distributed_single_process_smoke():
-    """Multi-host entry point: on a single process it is a no-op that
-    reports the local topology (and notably does NOT try to start a
-    coordinator)."""
+    """Multi-host entry point: on a single plain host the no-arg call runs
+    JAX's managed-cluster auto-detection, which finds nothing and falls
+    back to reporting the local topology (no coordinator is started)."""
     from yolov4tpu.parallel.mesh import init_distributed
 
     info = init_distributed()

@@ -33,6 +33,17 @@ from .ops.nms import combined_nms
 from .utils.visualize import draw_bbox, get_detection_data
 
 
+def _select_raw_apply(scales, dataflow: str):
+    """The float-vs-int8 forward selection, shared by every builder of a
+    raw-grid program: None -> folded float apply; a calibration-scales dict
+    (models.quantize.calibrate) -> the int8 apply bound to those scales."""
+    if scales is not None:
+        from .models.quantize import apply_quantized
+        return functools.partial(apply_quantized, scales=scales,
+                                 dataflow=dataflow)
+    return network.apply_folded
+
+
 def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
                    interpret: Optional[bool] = None, jit_kw: Optional[dict] = None,
                    quantized: Optional[dict] = None,
@@ -55,12 +66,7 @@ def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
     """
     anchors = cfg.anchors_grouped
     strides, xyscale, img_size = cfg.strides, cfg.xyscale, cfg.img_size
-    if quantized is not None:
-        from .models.quantize import apply_quantized
-        _apply = functools.partial(apply_quantized, scales=quantized,
-                                   dataflow=quantized_dataflow)
-    else:
-        _apply = network.apply_folded
+    _apply = _select_raw_apply(quantized, quantized_dataflow)
 
     @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
                        **(jit_kw or {}))
@@ -159,14 +165,26 @@ class Yolov4:
                 csp_repeats=self.config.csp_repeats)
         self._refresh_inference()
 
-    def _refresh_inference(self):
-        """(Re)fold BN and build the jitted raw/inference functions."""
-        self._folded = network.fold_bn(self.params, self.state)
+    def _rebuild_folded(self, folded=None):
+        """fold BN -> (re)quantize -> replicate onto the mesh: the single
+        source of the inference-param pipeline (used by _refresh_inference
+        and sync_params; quantize() passes its calibration fold through
+        ``folded`` to avoid folding twice)."""
+        if folded is None:
+            folded = network.fold_bn(self.params, self.state)
         if getattr(self, "_act_scales", None) is not None:
             from .models.quantize import quantize_folded
-            self._folded = quantize_folded(self._folded, self._act_scales,
-                                           self.num_classes,
-                                           self.config.csp_repeats)
+            folded = quantize_folded(folded, self._act_scales,
+                                     self.num_classes,
+                                     self.config.csp_repeats)
+        if self._mesh is not None:
+            from .parallel.mesh import replicated
+            folded = jax.device_put(folded, replicated(self._mesh))
+        return folded
+
+    def _refresh_inference(self, folded=None):
+        """(Re)fold BN and build the jitted raw/inference functions."""
+        self._folded = self._rebuild_folded(folded)
         self._compute_dtype = (jnp.bfloat16
                                if self.config.compute_dtype == "bfloat16"
                                else jnp.float32)
@@ -183,16 +201,10 @@ class Yolov4:
                 data = NamedSharding(self._mesh, P(None, "data"))  # H dim
                 cfg = cfg.replace(s2d_stem=False)
             jit_kw = {"in_shardings": (repl, data)}
-            self._folded = jax.device_put(self._folded, repl)
 
         scales = getattr(self, "_act_scales", None)
         dataflow = getattr(self, "_q_dataflow", "int8")
-        if scales is not None:
-            from .models.quantize import apply_quantized
-            _raw_apply = functools.partial(apply_quantized, scales=scales,
-                                           dataflow=dataflow)
-        else:
-            _raw_apply = network.apply_folded
+        _raw_apply = _select_raw_apply(scales, dataflow)
 
         @functools.partial(jax.jit, **jit_kw)
         def raw_fn(folded, images):
@@ -261,12 +273,13 @@ class Yolov4:
                 for p in calib_paths]).astype(np.float32))
         if not imgs:
             raise ValueError("quantize() needs calib_imgs and/or calib_paths")
+        folded = network.fold_bn(self.params, self.state)
         self._act_scales = calibrate(
-            network.fold_bn(self.params, self.state), np.concatenate(imgs),
+            folded, np.concatenate(imgs),
             self.num_classes, self._compute_dtype,
             csp_repeats=self.config.csp_repeats)
         self._q_dataflow = dataflow
-        self._refresh_inference()
+        self._refresh_inference(folded)
         return self
 
     def dequantize(self):
@@ -284,18 +297,7 @@ class Yolov4:
         the forward+decode+NMS program every evaluation epoch."""
         self.params = params
         self.state = state
-        self._folded = network.fold_bn(params, state)
-        if getattr(self, "_act_scales", None) is not None:
-            # Re-quantize with the stored calibration (weight scales are
-            # recomputed from the new weights; activation scales persist).
-            from .models.quantize import quantize_folded
-            self._folded = quantize_folded(self._folded, self._act_scales,
-                                           self.num_classes,
-                                           self.config.csp_repeats)
-        if self._mesh is not None:
-            from .parallel.mesh import replicated
-            self._folded = jax.device_put(self._folded,
-                                          replicated(self._mesh))
+        self._folded = self._rebuild_folded()
 
     def sync_from_trainer(self, trainer=None):
         """Pull trained params/state back into the inference path (from the

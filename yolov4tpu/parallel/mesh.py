@@ -63,13 +63,24 @@ def init_distributed(coordinator_address: Optional[str] = None,
     # even jax.process_count() initialises the XLA backend, after which
     # jax.distributed.initialize raises unconditionally.  Idempotency is
     # therefore tracked with a module flag, not probed from jax.
-    if (not _DISTRIBUTED_INITIALIZED
-            and (coordinator_address is not None
-                 or num_processes not in (None, 1))):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
-        _DISTRIBUTED_INITIALIZED = True
+    if not _DISTRIBUTED_INITIALIZED:
+        if (coordinator_address is not None
+                or num_processes not in (None, 1)):
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+            _DISTRIBUTED_INITIALIZED = True
+        elif num_processes is None:
+            # No explicit rig described: hand the no-arg call to JAX's
+            # managed-cluster auto-detection (TPU pod metadata, SLURM, …).
+            # On a plain single host detection finds nothing and raises
+            # BEFORE touching the backend — that is the documented
+            # single-process fallback, not an error.
+            try:
+                jax.distributed.initialize()
+                _DISTRIBUTED_INITIALIZED = True
+            except (ValueError, RuntimeError):
+                pass
     return {
         "process_id": jax.process_index(),
         "num_processes": jax.process_count(),

@@ -479,8 +479,11 @@ class Trainer:
             # Misconfiguration (as opposed to a ragged tail) is judged
             # against the NOMINAL full batch: if even a full generator batch
             # cannot be split into accum x num_devices equal micro-batches,
-            # no amount of trimming helps — fail loudly.
-            nominal = self.config.batch_size * max(self.config.num_devices, 1)
+            # no amount of trimming helps — fail loudly.  The device count
+            # is the ACTUAL mesh size (a Trainer built with an explicit
+            # mesh is judged against the mesh it runs on, not the config's
+            # num_devices hint).
+            nominal = self.config.batch_size * n_dev
             if nominal % multiple:
                 raise ValueError(
                     f"full batches of {nominal} samples "
@@ -634,8 +637,18 @@ class Trainer:
                     mean = sum(float(l) for l in losses) / n
                     print(f"epoch {epoch} step {n}/{len(train_gen)} "
                           f"loss {mean:.4f}")
+            if n == 0:
+                # Zero optimizer steps: empty generator, or every batch was
+                # a sub-accum ragged tail.  Recording loss 0.0 and saving a
+                # "best" checkpoint of an untrained model would be silently
+                # wrong — fail instead.
+                raise ValueError(
+                    f"epoch {epoch} ran zero optimizer steps — the "
+                    "generator was empty or every batch was smaller than "
+                    "grad_accum_steps x devices; lower grad_accum_steps "
+                    "or grow the dataset")
             loss_sum = float(sum(float(l) for l in losses))
-            entry = {"epoch": epoch, "loss": loss_sum / max(n, 1),
+            entry = {"epoch": epoch, "loss": loss_sum / n,
                      "time": time.time() - t0}
             if val_gen is not None:
                 vlosses = [self.eval_step(batch)
