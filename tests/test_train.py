@@ -464,6 +464,33 @@ def test_grad_accum_ragged_batch_drop_last():
     assert tr.global_step == step_before
 
 
+def test_fit_zero_step_epoch_raises():
+    """An epoch in which EVERY batch is skipped as a sub-accum ragged tail
+    must raise, not record loss 0.0 and checkpoint an untrained model."""
+    import dataclasses
+
+    from yolov4tpu.train import Trainer
+
+    cfg = dataclasses.replace(CFG, grad_accum_steps=2)
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    tr = Trainer(cfg, C, params, state)
+    tiny = _synthetic_batch(np.random.default_rng(5), bs=1)  # < accum
+
+    class TinyGen:
+        def __len__(self):
+            return 1
+
+        def get_batch(self, i):
+            return tiny
+
+        def on_epoch_end(self):
+            pass
+
+    with pytest.raises(ValueError, match="zero optimizer steps"):
+        tr.fit(TinyGen(), epochs=1, verbose=False)
+    assert tr.history == []  # nothing recorded for the failed epoch
+
+
 def test_init_distributed_single_process_smoke():
     """Multi-host entry point: on a single plain host the no-arg call runs
     JAX's managed-cluster auto-detection, which finds nothing and falls
