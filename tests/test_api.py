@@ -257,3 +257,44 @@ def test_spatial_sharded_inference_matches_single(model, rng):
         np.testing.assert_allclose(d, s, rtol=1e-4, atol=1e-5)
     with pytest.raises(ValueError, match="axis"):
         model.distribute(2, axis="pipeline")
+
+
+def test_eval_example_cli(model, tmp_path, rng, capsys, monkeypatch):
+    """examples/eval.py: the checkpoint -> export -> score CLI journey runs
+    end-to-end and prints an mAP JSON line (in-process, argv patched)."""
+    import importlib.util
+    import json
+    import sys
+
+    import cv2
+
+    ckpt = str(tmp_path / "m.npz")
+    model.save_model(ckpt)
+    classes = str(tmp_path / "classes.txt")
+    with open(classes, "w") as f:
+        f.write("a\nb\nc\n")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"e{i}.jpg"),
+                    rng.uniform(0, 255, (60, 60, 3)).astype(np.uint8))
+        lines.append(f"e{i}.jpg 5,5,30,30,0\n")
+    anno = tmp_path / "anno.txt"
+    anno.write_text("".join(lines))
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_example", os.path.join(os.path.dirname(__file__), "..",
+                                     "examples", "eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "--weights", ckpt, "--anno", str(anno),
+        "--classes", classes, "--imgdir", str(img_dir),
+        "--outdir", str(tmp_path / "eval"), "--bs", "2",
+        "--img-size", "64", "--no-plot"])
+    mod.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert "mAP" in res and 0.0 <= res["mAP"] <= 1.0
+    assert os.path.exists(str(tmp_path / "eval" / "result" / "output.txt"))
