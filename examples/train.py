@@ -42,6 +42,10 @@ def main():
                     help="stop gradients through BN batch stats: ~+6-11%% "
                          "step throughput, NOT reference BN math")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir")
+    ap.add_argument("--out", default="final.npz",
+                    help="final checkpoint path")
+    ap.add_argument("--img-size", type=int, default=416,
+                    help="square input size (any /32-divisible value)")
     args = ap.parse_args()
 
     from yolov4tpu import Yolov4, YoloConfig
@@ -49,7 +53,8 @@ def main():
     from yolov4tpu.data.pipeline import DataGenerator
     from yolov4tpu.utils.io import read_annotation_lines
 
-    cfg = YoloConfig(batch_size=args.batch, num_devices=args.devices,
+    cfg = YoloConfig(img_size=(args.img_size, args.img_size, 3),
+                     batch_size=args.batch, num_devices=args.devices,
                      compute_dtype="bfloat16" if args.bf16 else "float32",
                      use_mosaic=args.mosaic, label_smoothing=args.smooth,
                      use_hflip=args.hflip, use_color_jitter=args.jitter,
@@ -75,7 +80,7 @@ def main():
         callbacks.append(CheckpointCallback(args.ckpt + "/epoch{epoch}.npz"))
     model.fit(train_gen, epochs=args.epochs, val_data_gen=val_gen,
               callbacks=callbacks)
-    model.save_model("final.npz")
+    model.save_model(args.out)
 
 
 if __name__ == "__main__":
