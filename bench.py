@@ -4,31 +4,120 @@ Measures, on the available accelerator:
   - inference img/s through the FULL pipeline the reference's
     inference_model runs (backbone+neck forward -> head decode -> combined
     NMS, reference models.py:68-73) on a BUSY scene: head biases forced
-    (weights.force_busy_heads) so 338 anchor-sized overlapping boxes/image
-    across 2 classes clear the 0.3 score threshold and the NMS suppression
-    loop does trained-detector work.  An empty-scene number (random-init
-    weights, ~0 candidates — the data-dependent best case) is reported
-    alongside.
+    (weights.force_busy_heads) so above-threshold candidates appear on ALL
+    THREE heads across 21 classes (169 boxes @13^2 over 10 classes, 676
+    @26^2 over 10 classes, 2704 spurious low-score @52^2) — the per-class
+    NMS rank work of a trained detector, not a 2-class toy.  An
+    empty-scene number (random-init weights, ~0 candidates — the
+    data-dependent best case) is reported alongside.
   - the same busy scene through the int8 post-training-quantized path
     (models/quantize.py — the MXU's double-rate int8 mode; opt-in).
   - training img/s through the fused train step (forward+loss+backward+Adam,
     reference models.py:100-107), bf16, best batch size.
+  - host input-pipeline img/s (benchmarks/bench_data.py) — whether the host
+    can feed the device at all.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 headline metric is busy-scene inference throughput and vs_baseline is
 value / 5000 img/s (BASELINE.json north star for v5e-8; the fair single-chip
-share is 5000/8 = 625 img/s — both appear in extras, as do the empty-scene
-and training numbers).
+share is 5000/8 = 625 img/s — both appear in extras, as do the empty-scene,
+training, and host-pipeline numbers).
+
+Robustness contract (round-2 postmortem: BENCH_r02.json was rc=1/parsed=null
+because the TPU backend was down at capture time and bench.py crashed at its
+first device op): this script ALWAYS exits 0 with one parseable JSON line.
+The measurement runs in a child process; the parent never imports jax,
+retries the child (bounded, backoff) on transient backend flakes, and falls
+back to a zero-value record carrying the failure in extras["errors"].
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+NORTH_STAR = 5000.0  # img/s, BASELINE.json v5e-8 target
+CHILD_TIMEOUT_S = float(os.environ.get("YOLOV4TPU_BENCH_CHILD_TIMEOUT", 3300))
+RETRY_DELAYS = [float(x) for x in os.environ.get(
+    "YOLOV4TPU_BENCH_RETRY_DELAYS", "10,30").split(",")]
 
-def main():
-    import os
+# Busy-scene spec: (head, anchor, class, on_logit).  Score ordering
+# (sigmoid(l)^2): head2 0.91 > head1 0.78 > head0 0.48, so the fused path's
+# global top-256 holds 169 13^2-grid boxes (classes 0-9) + 87 26^2-grid
+# boxes (classes 10-19) while the 2704 52^2-grid boxes exercise the
+# threshold/top-k stage like a trained detector's spurious tail.
+HOT_MULTICLASS = tuple(
+    [(2, 0, c, 3.0) for c in range(10)]
+    + [(1, 0, c, 2.0) for c in range(10, 20)]
+    + [(0, 0, 20, 0.8)])
+RAW_ABOVE_THRESHOLD = 169 + 676 + 2704  # candidates/img before top-k
+
+
+def _empty_result():
+    return {
+        "metric": "inference_throughput_416_busy",
+        "value": 0.0,
+        "unit": "img/s",
+        "vs_baseline": 0.0,
+        "extras": {"errors": []},
+    }
+
+
+def _err(e):
+    return f"{type(e).__name__}: {e}"
+
+
+def child_main():
+    """All measurement. Always prints one JSON line and exits 0."""
+    result = _empty_result()
+    extras = result["extras"]
+    errors = extras["errors"]
+    try:
+        _child_body(result, extras, errors)
+    except BaseException as e:  # noqa: BLE001 — the contract is "never crash"
+        errors.append(f"child body: {_err(e)}")
+    print(json.dumps(result))
+
+
+def _first_contact(errors, attempts=3):
+    """Force backend init + one device round trip, bounded retry.
+
+    A transient axon-tunnel flake at first contact must not forfeit the
+    round's numbers (that is exactly what killed BENCH_r02).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    delays = [float(x) for x in os.environ.get(
+        "YOLOV4TPU_BENCH_CONTACT_DELAYS", "5,15,45").split(",")]
+    for i in range(attempts):
+        try:
+            np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
+            return True
+        except Exception as e:  # backend init / compile / transfer error
+            errors.append(f"device contact {i + 1}/{attempts}: {_err(e)}")
+            if i + 1 < attempts:
+                time.sleep(delays[min(i, len(delays) - 1)])
+                # Drop any cached failed backend state before retrying.
+                for clear in ("extend.backend.clear_backends",
+                              "clear_caches"):
+                    try:
+                        obj = jax
+                        for attr in clear.split("."):
+                            obj = getattr(obj, attr)
+                        obj()
+                        break
+                    except Exception:
+                        continue
+    return False
+
+
+def _child_body(result, extras, errors):
+    if os.environ.get("YOLOV4TPU_BENCH_SELFTEST_FAIL"):
+        raise RuntimeError("selftest: simulated dead backend")
 
     import jax
     import jax.numpy as jnp
@@ -43,6 +132,28 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    device_ok = _first_contact(errors)
+    if device_ok:
+        try:
+            _device_sections(result, extras, errors)
+        except BaseException as e:
+            errors.append(f"device sections: {_err(e)}")
+    else:
+        errors.append("device unavailable after retries; device sections "
+                      "skipped")
+
+    # Host input pipeline (no device needed): can the host FEED the device?
+    try:
+        from benchmarks.bench_data import measure as measure_host
+        extras["host_pipeline"] = measure_host(n=48, batch=16)
+    except Exception as e:
+        errors.append(f"host pipeline: {_err(e)}")
+
+
+def _device_sections(result, extras, errors):
+    import jax
+    import jax.numpy as jnp
 
     from yolov4tpu import weights as w
     from yolov4tpu.config import YoloConfig
@@ -82,37 +193,35 @@ def main():
     # suppression loop's trip count is ~0 — the data-dependent best case, not
     # the trained-model case.  Quantile calibration cannot fix this (zero
     # logit variance -> knife-edge threshold that collapses under bf16
-    # rounding; see weights.force_busy_heads), so the bench FORCES two
-    # 13^2-grid channels hot: 338 above-threshold anchor-sized overlapping
-    # candidates per image, 2 classes — trained-detector-density suppression
-    # work with a margin no dtype can erase.
+    # rounding; see weights.force_busy_heads), so the bench FORCES hot
+    # channels on all three heads across 21 classes (HOT_MULTICLASS above):
+    # trained-detector-density suppression work with a margin no dtype can
+    # erase.
     folded_empty = jax.device_put(network.fold_bn(params, state))
-    params_busy = w.force_busy_heads(params, num_classes)
+    params_busy = w.force_busy_heads(params, num_classes, hot=HOT_MULTICLASS)
     folded_busy = jax.device_put(network.fold_bn(params_busy, state))
 
-    def measure_infer(folded, batch):
+    def measure_infer(fn, folded, batch):
         images = jnp.asarray(
             rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32))
-        sync(infer(folded, images))  # warmup/compile (synced)
+        sync(fn(folded, images))  # warmup/compile (synced)
         iters = max(5, int(4000 / batch))
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = infer(folded, images)
+            out = fn(folded, images)
         sync(out)
         return batch * iters / (time.perf_counter() - t0)
 
     # A failed section reports 0.0 PLUS the exception in extras["errors"]:
     # a silent zero reads as "measured at 0" and hides the regression.
-    errors = []
-
     busy_best, busy_bs = 0.0, None
     empty_best = 0.0
     for batch in (128, 192):
         try:
-            busy = measure_infer(folded_busy, batch)
-            empty = measure_infer(folded_empty, batch)
+            busy = measure_infer(infer, folded_busy, batch)
+            empty = measure_infer(infer, folded_empty, batch)
         except Exception as e:
-            errors.append(f"infer b{batch}: {type(e).__name__}: {e}")
+            errors.append(f"infer b{batch}: {_err(e)}")
             break
         if busy > busy_best:
             busy_best, busy_bs = busy, batch
@@ -142,20 +251,9 @@ def main():
                 candidates=cfg.nms_pre_top_k,
                 interpret=jax.default_backend() != "tpu")
 
-        def measure_q(batch):
-            images = jnp.asarray(
-                rng.uniform(0, 1, (batch, 416, 416, 3)).astype(np.float32))
-            sync(infer_q(qparams, images))
-            iters = max(5, int(4000 / batch))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = infer_q(qparams, images)
-            sync(out)
-            return batch * iters / (time.perf_counter() - t0)
-
-        int8_busy = measure_q(busy_bs or 128)
+        int8_busy = measure_infer(infer_q, qparams, busy_bs or 128)
     except Exception as e:
-        errors.append(f"int8: {type(e).__name__}: {e}")
+        errors.append(f"int8: {_err(e)}")
 
     # Training throughput: fused jitted step (fwd+loss+bwd+Adam), bf16.
     def measure_train(batch):
@@ -191,31 +289,80 @@ def main():
             train_best, train_bs = measure_train(batch), batch
             break
         except Exception as e:
-            errors.append(f"train b{batch}: {type(e).__name__}: {e}")
+            errors.append(f"train b{batch}: {_err(e)}")
             continue
 
-    result = {
-        "metric": "inference_throughput_416_busy",
-        "value": round(busy_best, 2),
-        "unit": "img/s",
-        "vs_baseline": round(busy_best / 5000.0, 4),
-        "extras": {
-            "batch_size": busy_bs,
-            "device": str(jax.devices()[0]),
-            "per_chip_target": 625.0,
-            "vs_per_chip_target": round(busy_best / 625.0, 4),
-            "dtype": "bfloat16",
-            "includes": "forward+decode+combined_nms",
-            "candidates_per_image": 338,
-            "empty_scene_img_s": round(empty_best, 2),
-            "int8_busy_img_s": round(int8_busy, 2),
-            "train_throughput_416": round(train_best, 2),
-            "train_batch_size": train_bs,
-            "errors": errors,
+    result["value"] = round(busy_best, 2)
+    result["vs_baseline"] = round(busy_best / NORTH_STAR, 4)
+    extras.update({
+        "batch_size": busy_bs,
+        "device": str(jax.devices()[0]),
+        "per_chip_target": 625.0,
+        "vs_per_chip_target": round(busy_best / 625.0, 4),
+        "dtype": "bfloat16",
+        "includes": "forward+decode+combined_nms",
+        "busy_scene": {
+            "raw_candidates_above_threshold": RAW_ABOVE_THRESHOLD,
+            "nms_candidates": 256,
+            "classes": 21,
+            "heads": 3,
         },
-    }
+        "empty_scene_img_s": round(empty_best, 2),
+        "int8_busy_img_s": round(int8_busy, 2),
+        "train_throughput_416": round(train_best, 2),
+        "train_batch_size": train_bs,
+    })
+
+
+def parent_main():
+    """Spawn the child, retry on flake, ALWAYS print one valid JSON line."""
+    attempts = 1 + len(RETRY_DELAYS)
+    last_parsed, last_error = None, None
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            # A timeout means the child was making (slow) progress — a
+            # retry would take just as long; record and stop.
+            last_error = (f"attempt {i + 1}: child timed out after "
+                          f"{CHILD_TIMEOUT_S:.0f}s")
+            break
+        except Exception as e:
+            last_error = f"attempt {i + 1}: spawn failed: {_err(e)}"
+            break
+        parsed = None
+        for line in reversed(proc.stdout.splitlines()):
+            try:
+                cand = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and "metric" in cand:
+                parsed = cand
+                break
+        if parsed is not None and parsed.get("value", 0) > 0:
+            print(json.dumps(parsed))
+            return
+        if parsed is not None:
+            last_parsed = parsed  # valid record, but value 0 — maybe a flake
+            last_error = (f"attempt {i + 1}: value=0, errors="
+                          f"{parsed.get('extras', {}).get('errors')}")
+        else:
+            tail = (proc.stderr or proc.stdout or "")[-400:]
+            last_error = (f"attempt {i + 1}: rc={proc.returncode}, "
+                          f"no JSON; tail: {tail!r}")
+        if i + 1 < attempts:
+            time.sleep(RETRY_DELAYS[i])
+    result = last_parsed if last_parsed is not None else _empty_result()
+    if last_error:
+        result.setdefault("extras", {}).setdefault("errors", []).append(
+            f"parent: {last_error}")
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv[1:]:
+        child_main()
+    else:
+        parent_main()

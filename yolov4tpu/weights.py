@@ -310,6 +310,11 @@ def force_busy_heads(params: dict, num_classes: int,
     (169/channel at 13^2 for 416 input); their boxes are anchor-sized
     overlapping neighbors, so the NMS suppression loop does trained-model
     work.  Returns new params (deep-copied head convs).
+
+    Entries in ``hot`` may also be 4-tuples ``(head, anchor, cls, logit)``
+    to give each channel its own on-logit — lets a bench spread candidates
+    across all three heads with controlled score ordering (e.g. 13^2-grid
+    boxes outrank 52^2 ones in the fused path's global top-k).
     """
     new_convs, head_i = [], 0
     for p in params["convs"]:
@@ -317,10 +322,15 @@ def force_busy_heads(params: dict, num_classes: int,
         if "b" in p:
             b = np.array(p["b"], np.float32).reshape(3, 5 + num_classes)
             b[:, 4:] = off_logit
-            for h, anchor, cls in hot:
+            for entry in hot:
+                h, anchor, cls = entry[0], entry[1], entry[2]
+                logit = entry[3] if len(entry) > 3 else on_logit
                 if h == head_i:
-                    b[anchor, 4] = on_logit
-                    b[anchor, 5 + cls] = on_logit
+                    # obj bias: max over this channel's hot entries so the
+                    # strongest class sets the candidate ranking score.
+                    b[anchor, 4] = max(b[anchor, 4], logit) \
+                        if b[anchor, 4] > off_logit else logit
+                    b[anchor, 5 + cls] = logit
             p["b"] = b.ravel()
             head_i += 1
         new_convs.append(p)
