@@ -28,6 +28,24 @@ import numpy as np
 ANCHOR_MASK = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
 
 
+def _grid_index_table(extent: int, g: int) -> np.ndarray:
+    """Exact host-semantics cell index for every integral center 0..extent.
+
+    The host path computes ``floor(f32(v / extent) * g)`` with numpy's
+    dtype promotion (f32/int -> f64 divide, cast to f32, f32*int -> f64
+    multiply).  XLA folds divide-then-multiply into one multiply, which
+    rounds DIFFERENTLY exactly when a center sits on a cell boundary
+    (e.g. 264/416*52: host 32.99999•, device 33) — and integral centers on
+    boundaries are common, not a corner case.  Box centers are integral
+    (floor-div by 2), so a lookup table built with the host's own ops makes
+    the device encoder bit-identical by construction.
+    """
+    v = np.arange(extent + 1, dtype=np.float32)
+    norm = (v / np.int32(extent)).astype(np.float32)      # host's exact chain
+    idx = np.floor(norm * np.int32(g))
+    return np.clip(idx, 0, g - 1).astype(np.int32)
+
+
 def best_anchor_ious(wh: np.ndarray, anchors: np.ndarray) -> np.ndarray:
     """IoU of GT wh (..., 2) vs anchors (9, 2), both centred at origin -> (..., 9)."""
     wh_e = wh[..., None, :]
@@ -113,10 +131,15 @@ def encode_labels_jax(true_boxes, input_shape: Tuple[int, int], anchors,
                       num_classes: int, strides: Sequence[int] = (8, 16, 32)):
     """JAX scatter-based label encoder (same contract as preprocess_true_boxes).
 
-    When several boxes map to the same (cell, anchor), which box's full row
-    (xy/wh/conf AND class one-hot) wins is unspecified here (XLA scatter
-    semantics; the numpy twin is last-write-wins with OR-accumulated class
-    flags).  Everything else matches.  Jittable and vmap-friendly — wired
+    Collision semantics are DETERMINISTIC and bit-identical to the host
+    encoder (reference utils.py:290-294 loop order): when several boxes map
+    to the same (cell, anchor), the LAST box (highest box index) wins the
+    xy/wh/conf row, and the class one-hot flags of ALL colliding boxes
+    accumulate (the reference writes field 5+class only, never clearing
+    others).  Implemented as a pre-scatter dedup (later-box shadowing mask,
+    a (max_boxes, max_boxes) comparison — trivial at 100 boxes) plus a
+    scatter-max for the class flags, so no XLA scatter ever sees duplicate
+    indices with conflicting updates.  Jittable and vmap-friendly — wired
     into the train step by ``YoloConfig(encode_on_device=True)``.
     """
     import jax
@@ -129,7 +152,6 @@ def encode_labels_jax(true_boxes, input_shape: Tuple[int, int], anchors,
 
     xy = jnp.floor_divide(true_boxes[..., 0:2] + true_boxes[..., 2:4], 2.0)
     wh = true_boxes[..., 2:4] - true_boxes[..., 0:2]
-    norm_xy = xy / jnp.asarray([w, h], jnp.float32)
     valid = wh[..., 0] > 0
 
     wh_e = jnp.where(valid[..., None], wh, 1.0)[..., None, :]
@@ -143,29 +165,48 @@ def encode_labels_jax(true_boxes, input_shape: Tuple[int, int], anchors,
 
     y_true = []
     cls = true_boxes[..., 4].astype(jnp.int32)
+    one_hot = jax.nn.one_hot(cls, num_classes, dtype=jnp.float32)
     # One full (5+C) row per box — xy/wh/conf and the class one-hot in a
     # single vector, so each scale needs ONE flat row-scatter.  The earlier
     # form (a 4-index-array slice scatter plus a separate .max scatter for
     # the class flag) lowered to two generic TPU scatters and cost ~19 ms
     # per b16 train step; this row form is an order of magnitude cheaper.
-    # Collision semantics between boxes in the same (cell, anchor) remain
-    # unspecified (XLA scatter), as documented above.
     row_vec = jnp.concatenate(
-        [xy, wh, jnp.ones((bs, max_boxes, 1)),
-         jax.nn.one_hot(cls, num_classes, dtype=jnp.float32)], axis=-1)
+        [xy, wh, jnp.ones((bs, max_boxes, 1)), one_hot], axis=-1)
+    box_i = jnp.arange(max_boxes)
+    later = box_i[None, :] > box_i[:, None]           # (mb, mb) static
+    # Integral centers, clipped into table range (host clips the final cell
+    # index; out-of-range centers clamp to the edge cell either way).
+    xi = jnp.clip(xy[..., 0], 0, w).astype(jnp.int32)
+    yi = jnp.clip(xy[..., 1], 0, h).astype(jnp.int32)
     for stage, s in enumerate(strides):
         gh, gw = h // s, w // s
         sel = valid & (best_anchor // 3 == stage)
-        col = jnp.clip(jnp.floor(norm_xy[..., 0] * gw).astype(jnp.int32), 0, gw - 1)
-        row = jnp.clip(jnp.floor(norm_xy[..., 1] * gh).astype(jnp.int32), 0, gh - 1)
+        col = jnp.take(jnp.asarray(_grid_index_table(w, gw)), xi, axis=0)
+        row = jnp.take(jnp.asarray(_grid_index_table(h, gh)), yi, axis=0)
         a_idx = best_anchor % 3
         # Flat cell index within each image; non-selected boxes are routed
         # out-of-range and dropped by the scatter.
         n_cell = gh * gw * 3
         flat = (row * gw + col) * 3 + a_idx
         flat = jnp.where(sel, flat, n_cell)
+        # Deterministic collisions (host-encoder parity): a box shadowed by
+        # a LATER box in the same (cell, anchor) must not write its row —
+        # only the last box's xy/wh/conf survive.  Unselected boxes sit at
+        # flat == n_cell (> any selected index), so they never shadow.
+        shadowed = jnp.any(
+            later & (flat[:, :, None] == flat[:, None, :]), axis=-1)
+        flat_row = jnp.where(shadowed, n_cell, flat)
         y = jnp.zeros((bs, n_cell, 5 + num_classes), jnp.float32)
-        y = y.at[jnp.arange(bs)[:, None], flat].set(row_vec, mode="drop")
+        y = y.at[jnp.arange(bs)[:, None], flat_row].set(row_vec, mode="drop")
+        # Class flags accumulate across ALL colliding boxes (the reference
+        # sets field 5+class and never clears others): scatter-max of every
+        # selected box's one-hot — duplicate indices are order-independent
+        # under max, so this too is deterministic.
+        acc = jnp.zeros((bs, n_cell, num_classes), jnp.float32)
+        acc = acc.at[jnp.arange(bs)[:, None], flat].max(one_hot, mode="drop")
+        y = jnp.concatenate(
+            [y[..., :5], jnp.maximum(y[..., 5:], acc)], axis=-1)
         y_true.append(y.reshape(bs, gh, gw, 3, 5 + num_classes))
 
     y_true_boxes_xywh = jnp.concatenate([xy, wh], axis=-1)
