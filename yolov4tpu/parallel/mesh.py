@@ -15,6 +15,7 @@ slice and DCN across slices.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -22,6 +23,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _DISTRIBUTED_INITIALIZED = False
+
+# Env vars whose presence (with the given predicate on their value) says
+# "this process is part of a multi-host rig" even when
+# jax.distributed.initialize()'s auto-detection fails — in that situation a
+# silent single-process fallback would make every process train
+# independently (no gradient sync, clashing checkpoint writes).
+_MULTI_HOST_HINTS = (
+    ("TPU_WORKER_HOSTNAMES", lambda v: "," in v),     # >1 pod worker
+    ("TPU_WORKER_ID", lambda v: True),
+    ("MEGASCALE_COORDINATOR_ADDRESS", lambda v: True),
+    ("CLOUD_TPU_TASK_ID", lambda v: True),
+    ("SLURM_NTASKS", lambda v: v.strip().isdigit() and int(v) > 1),
+    ("SLURM_JOB_NUM_NODES", lambda v: v.strip().isdigit() and int(v) > 1),
+    ("OMPI_COMM_WORLD_SIZE", lambda v: v.strip().isdigit() and int(v) > 1),
+)
+
+
+def _multi_host_hints() -> list:
+    """Names of env vars suggesting this host is one of several."""
+    return [name for name, pred in _MULTI_HOST_HINTS
+            if name in os.environ and pred(os.environ[name])]
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -75,12 +97,30 @@ def init_distributed(coordinator_address: Optional[str] = None,
             # managed-cluster auto-detection (TPU pod metadata, SLURM, …).
             # On a plain single host detection finds nothing and raises
             # BEFORE touching the backend — that is the documented
-            # single-process fallback, not an error.
+            # single-process fallback, not an error.  But if the
+            # environment LOOKS multi-host (pod metadata / SLURM vars
+            # present) the failure is a transient coordinator/metadata
+            # error, and falling back would mean every process silently
+            # trains alone — refuse instead.
             try:
                 jax.distributed.initialize()
                 _DISTRIBUTED_INITIALIZED = True
-            except (ValueError, RuntimeError):
-                pass
+            except (ValueError, RuntimeError) as e:
+                hints = _multi_host_hints()
+                if hints:
+                    raise RuntimeError(
+                        "jax.distributed.initialize() auto-detection failed "
+                        f"but the environment looks multi-host (env: "
+                        f"{', '.join(hints)}). Refusing the single-process "
+                        "fallback: each process would train independently — "
+                        "no gradient sync, clashing checkpoint writes. Pass "
+                        "coordinator_address/num_processes/process_id "
+                        "explicitly or fix the cluster metadata."
+                    ) from e
+                warnings.warn(
+                    "init_distributed: auto-detection found no cluster "
+                    f"({type(e).__name__}: {e}); continuing single-process.",
+                    stacklevel=2)
     return {
         "process_id": jax.process_index(),
         "num_processes": jax.process_count(),
