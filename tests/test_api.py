@@ -298,3 +298,11 @@ def test_eval_example_cli(model, tmp_path, rng, capsys, monkeypatch):
     res = json.loads(out)
     assert "mAP" in res and 0.0 <= res["mAP"] <= 1.0
     assert os.path.exists(str(tmp_path / "eval" / "result" / "output.txt"))
+
+
+def test_quantize_validates_dataflow_eagerly(model, rng):
+    """Invalid dataflow raises ValueError up front, not a KeyError at
+    jit-trace time inside apply_quantized (advisor finding r2)."""
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="'int8' or 'bf16'"):
+        model.quantize(calib_imgs=imgs, dataflow="int4")

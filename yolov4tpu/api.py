@@ -261,6 +261,9 @@ class Yolov4:
         dataflow: "int8" keeps inter-op activations int8 (half the HBM
         traffic); "bf16" is the conservative per-conv scheme.
         """
+        if dataflow not in ("int8", "bf16"):
+            raise ValueError(
+                f"dataflow must be 'int8' or 'bf16', got {dataflow!r}")
         from .models.quantize import calibrate
         import cv2
         imgs = []

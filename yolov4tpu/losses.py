@@ -107,11 +107,13 @@ def _sigmoid_ce(labels, logits):
 
 def loss_layer(conv, pred, label, true_boxes, stride: int, num_classes: int,
                iou_loss_thresh: float, box_iou_kind: str = "giou",
-               label_smoothing: float = 0.0):
+               label_smoothing: float = 0.0, sample_mask=None):
     """Per-scale loss terms (reference loss.py:138-188).
 
     conv: (B,g,g,3*(5+C)) raw head output; pred: decode_train output
     (B,g,g,3,5+C); label: GT grid (B,g,g,3,5+C); true_boxes: (B,M,4) xywh px.
+    sample_mask: optional (B,) 0/1 validity — padded samples drop out of the
+    batch means (reference loss.py:184-186 reduce_mean over real samples).
     Returns (box_loss, conf_loss, prob_loss) scalars (unweighted).
     """
     b, g = conv.shape[0], conv.shape[1]
@@ -153,9 +155,16 @@ def loss_layer(conv, pred, label, true_boxes, stride: int, num_classes: int,
     ce = _sigmoid_ce(respond_bbox, conv_raw_conf)
     conf_loss = conf_focal * (respond_bbox * ce + respond_bgd * ce)
 
-    box_loss = jnp.mean(jnp.sum(box_loss, axis=(1, 2, 3, 4)))
-    conf_loss = jnp.mean(jnp.sum(conf_loss, axis=(1, 2, 3, 4)))
-    prob_loss = jnp.mean(jnp.sum(prob_loss, axis=(1, 2, 3, 4)))
+    if sample_mask is None:
+        batch_mean = lambda t: jnp.mean(jnp.sum(t, axis=(1, 2, 3, 4)))  # noqa: E731
+    else:
+        m = sample_mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        batch_mean = lambda t: (  # noqa: E731
+            jnp.sum(jnp.sum(t, axis=(1, 2, 3, 4)) * m) / denom)
+    box_loss = batch_mean(box_loss)
+    conf_loss = batch_mean(conf_loss)
+    prob_loss = batch_mean(prob_loss)
     return box_loss, conf_loss, prob_loss
 
 
@@ -163,7 +172,7 @@ def yolo_loss(raw_outputs: Sequence, labels: Sequence, true_boxes,
               anchors_grouped, strides: Sequence[int], num_classes: int,
               iou_loss_thresh: float, weights=(3.54, 64.3, 1.0),
               box_iou_kind: str = "giou", label_smoothing: float = 0.0,
-              return_components: bool = False):
+              return_components: bool = False, sample_mask=None):
     """Total training loss over all scales (reference loss.py:116-135).
 
     raw_outputs: [sbbox, mbbox, lbbox] raw grids; labels: matching GT grids;
@@ -173,10 +182,19 @@ def yolo_loss(raw_outputs: Sequence, labels: Sequence, true_boxes,
 
     box_l = conf_l = prob_l = 0.0
     for i, (raw, label) in enumerate(zip(raw_outputs, labels)):
+        if sample_mask is not None:
+            # Zero the raw grids of padded samples BEFORE decode: a padded
+            # (zero) image normalized by the valid samples' BN stats is
+            # out-of-distribution and its raw wh can overflow exp() in
+            # decode_train to inf — and inf*0 in the masked mean is NaN
+            # (in the backward too).  Multiplying raw by the mask keeps the
+            # pad rows' whole loss graph finite and their gradients exactly
+            # zero (cotangents scale by the same 0).
+            raw = raw * sample_mask.astype(raw.dtype).reshape(-1, 1, 1, 1)
         pred = decode_train(raw, anchors_grouped[i], strides[i], num_classes)
         bl, cl, pl = loss_layer(raw, pred, label, true_boxes, strides[i],
                                 num_classes, iou_loss_thresh, box_iou_kind,
-                                label_smoothing)
+                                label_smoothing, sample_mask=sample_mask)
         box_l += bl
         conf_l += cl
         prob_l += pl

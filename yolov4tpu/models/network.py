@@ -174,12 +174,17 @@ class _ApplyOps:
     """Ops backend that consumes params sequentially and computes with jnp."""
 
     def __init__(self, params: Params, state: State, train: bool,
-                 compute_dtype=jnp.float32, stats_gradient: bool = True):
+                 compute_dtype=jnp.float32, stats_gradient: bool = True,
+                 sample_mask=None):
         self.convs = params["convs"]
         self.bn = state["bn"]
         self.train = train
         self.dtype = compute_dtype
         self.stats_gradient = stats_gradient
+        # (B,) 0/1 validity mask for padded batches: BN batch statistics are
+        # computed over the VALID samples only, so a pad-to-aligned-batch
+        # step is numerically a trimmed-batch step (see make_train_step).
+        self.sample_mask = sample_mask
         self.i = 0
         self.new_bn: List[Optional[Dict[str, jnp.ndarray]]] = []
 
@@ -211,9 +216,33 @@ class _ApplyOps:
                 # centered second moment) in fwd AND bwd — ~15% of the whole
                 # train step at 416^2.  Here both moments are one fused
                 # reduction each over the bf16 activations.
-                mean = jnp.mean(y, axis=(0, 1, 2), dtype=jnp.float32)
-                mean2 = jnp.mean(
-                    lax.square(y.astype(jnp.float32)), axis=(0, 1, 2))
+                if self.sample_mask is None:
+                    mean = jnp.mean(y, axis=(0, 1, 2), dtype=jnp.float32)
+                    mean2 = jnp.mean(
+                        lax.square(y.astype(jnp.float32)), axis=(0, 1, 2))
+                else:
+                    # Zero out padded samples and divide the sums by the
+                    # VALID count: summing the extra zero rows is exact, so
+                    # the moments equal the trimmed batch's up to reduction
+                    # reassociation.  Mask is 0/1, so squaring commutes.
+                    mw = self.sample_mask.astype(self.dtype)
+                    ys = y * mw[:, None, None, None]
+                    # max(. , 1): an all-padding micro-batch (possible in a
+                    # padded ragged grad-accum tail) must yield finite
+                    # stats, which the caller then discards (w=0 weighting /
+                    # state passthrough in train._accumulated).
+                    n_valid = jnp.sum(self.sample_mask, dtype=jnp.float32)
+                    denom = jnp.maximum(n_valid, 1.0) * y.shape[1] * y.shape[2]
+                    mean = jnp.sum(ys, axis=(0, 1, 2),
+                                   dtype=jnp.float32) / denom
+                    # All-padding: zero variance would normalize by
+                    # rsqrt(eps) (~31x PER LAYER — overflows to inf within
+                    # ~20 convs and 0*inf NaNs the masked loss).  Fall back
+                    # to unit variance so the throwaway forward stays
+                    # bounded; the caller discards these stats anyway.
+                    mean2 = (jnp.sum(lax.square(ys.astype(jnp.float32)),
+                                     axis=(0, 1, 2)) / denom
+                             + jnp.where(n_valid > 0, 0.0, 1.0))
                 if not self.stats_gradient:
                     # Opt-in (YoloConfig.bn_stats_gradient=False): treat the
                     # batch statistics as constants in the backward pass.
@@ -268,16 +297,19 @@ class _ApplyOps:
 def apply(params: Params, state: State, images, num_classes: int,
           train: bool = False, compute_dtype=jnp.float32,
           csp_repeats=topology.DEFAULT_CSP_REPEATS,
-          bn_stats_gradient: bool = True):
+          bn_stats_gradient: bool = True, sample_mask=None):
     """Forward pass: images (B,H,W,3) -> ([sbbox, mbbox, lbbox], new_state).
 
     Raw un-activated head outputs, shapes (B, H/8, W/8, 3*(C+5)) etc.
     When train=True, new_state carries updated BN moving statistics.
     bn_stats_gradient=False stops gradients through the BN batch stats
     (see _ApplyOps.conv) — an opt-in throughput/parity trade.
+    sample_mask: optional (B,) 0/1 validity mask — BN batch statistics
+    ignore padded samples (pad-and-mask ragged batches).
     """
     ops = _ApplyOps(params, state, train, compute_dtype,
-                    stats_gradient=bn_stats_gradient)
+                    stats_gradient=bn_stats_gradient,
+                    sample_mask=sample_mask)
     outs = topology.yolov4(ops, images, num_classes, csp_repeats)
     outs = [o.astype(jnp.float32) for o in outs]
     new_state = {"bn": ops.new_bn} if train else state

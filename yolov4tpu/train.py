@@ -126,7 +126,10 @@ def _maybe_encode_on_device(batch: dict, config: YoloConfig,
     labels, xywh = encode_labels_jax(
         batch["raw_boxes"], config.img_size[:2], config.anchors_flat,
         num_classes, config.strides)
-    return {"image": batch["image"], "labels": labels, "boxes": xywh}
+    out = {"image": batch["image"], "labels": labels, "boxes": xywh}
+    if "mask" in batch:  # padded ragged batch: keep the validity mask
+        out["mask"] = batch["mask"]
+    return out
 
 
 def _batch_pspec(config: YoloConfig, spec):
@@ -147,6 +150,11 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
 
     def grad_and_metrics(params, state, batch):
         batch = _maybe_encode_on_device(batch, config, num_classes)
+        # Optional (B,) 0/1 validity mask ("mask" key): padded samples drop
+        # out of loss means AND BN batch statistics, so a ragged batch
+        # padded to an XLA-friendly size updates exactly like its trimmed
+        # self (pad-and-mask; see Trainer.train_step).
+        mask = batch.get("mask")
         if config.sat_epsilon > 0.0:
             # Self-adversarial training (the reference's unchecked TODO,
             # reference README.md:10-13): one FGSM step on the IMAGES that
@@ -157,13 +165,15 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
                     params, state, images, num_classes, train=True,
                     compute_dtype=compute_dtype,
                     csp_repeats=config.csp_repeats,
-                    bn_stats_gradient=config.bn_stats_gradient)
+                    bn_stats_gradient=config.bn_stats_gradient,
+                    sample_mask=mask)
                 return yolo_loss(
                     outs, batch["labels"], batch["boxes"], anchors,
                     config.strides, num_classes, config.iou_loss_thresh,
                     weights=(config.loss_box_weight, config.loss_conf_weight,
                              config.loss_prob_weight),
-                    label_smoothing=config.label_smoothing)
+                    label_smoothing=config.label_smoothing,
+                    sample_mask=mask)
 
             g_img = jax.grad(img_loss)(batch["image"])
             adv = jnp.clip(batch["image"]
@@ -174,14 +184,15 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
             outs, new_state = network.apply(
                 p, state, batch["image"], num_classes, train=True,
                 compute_dtype=compute_dtype, csp_repeats=config.csp_repeats,
-                bn_stats_gradient=config.bn_stats_gradient)
+                bn_stats_gradient=config.bn_stats_gradient,
+                sample_mask=mask)
             total, comps = yolo_loss(
                 outs, batch["labels"], batch["boxes"], anchors,
                 config.strides, num_classes, config.iou_loss_thresh,
                 weights=(config.loss_box_weight, config.loss_conf_weight,
                          config.loss_prob_weight),
                 label_smoothing=config.label_smoothing,
-                return_components=True)
+                return_components=True, sample_mask=mask)
             return total, (new_state, comps)
 
         (loss, (new_state, comps)), grads = jax.value_and_grad(
@@ -211,11 +222,26 @@ def _accumulated(grad_and_metrics, accum: int, mesh_axes=()):
         return grad_and_metrics
 
     def accumulated(params, state, batch):
+        has_mask = isinstance(batch, dict) and "mask" in batch
+
         def body(carry, micro):
-            gsum, st = carry
+            gsum, wsum, st = carry
             g, new_st, m = grad_and_metrics(params, st, micro)
-            gsum = jax.tree.map(jnp.add, gsum, g)
-            return (gsum, new_st), m
+            # Micro-batches may carry unequal VALID counts (a padded ragged
+            # tail): weight each micro-grad (a mean over its own valid
+            # samples) by that count so the combination is the mean over
+            # every valid sample of the whole logical batch.  Without masks
+            # the weights are equal and this is the plain average.
+            w = (jnp.sum(micro["mask"], dtype=jnp.float32) if has_mask
+                 else jnp.float32(1.0))
+            gsum = jax.tree.map(lambda a, b: a + w * b, gsum, g)
+            if has_mask:
+                # An all-padding micro-batch must not advance the BN moving
+                # statistics (its masked batch stats are defined-zero).
+                new_st = jax.tree.map(
+                    lambda n, o: jnp.where(w > 0, n, o), new_st, st)
+            return ((gsum, wsum + w, new_st),
+                    jax.tree.map(lambda x: x * w, m))
 
         # Only the BN-state half of the carry becomes device-varying (its
         # updates come from the sharded batch); the gradient sum stays
@@ -224,10 +250,12 @@ def _accumulated(grad_and_metrics, accum: int, mesh_axes=()):
         # the replicated out_specs.
         state0 = (lax.pcast(state, tuple(mesh_axes), to="varying")
                   if mesh_axes else state)
-        init = (jax.tree.map(jnp.zeros_like, params), state0)
-        (gsum, new_state), ms = lax.scan(body, init, batch)
-        grads = jax.tree.map(lambda g: g / accum, gsum)
-        metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+        init = (jax.tree.map(jnp.zeros_like, params), jnp.float32(0.0),
+                state0)
+        (gsum, wsum, new_state), ms = lax.scan(body, init, batch)
+        wsum = jnp.maximum(wsum, 1e-6)
+        grads = jax.tree.map(lambda g: g / wsum, gsum)
+        metrics = jax.tree.map(lambda x: jnp.sum(x, axis=0) / wsum, ms)
         return grads, new_state, metrics
 
     return accumulated
@@ -243,6 +271,50 @@ def chunk_batch(batch: dict, accum: int) -> dict:
         return x.reshape(accum, b // accum, *x.shape[1:])
 
     return jax.tree.map(chunk, batch)
+
+
+_SMALL_POW2 = (1, 2, 4, 8, 16, 32)
+
+
+def aligned_batch(b: int) -> bool:
+    """Batch sizes XLA's conv tiling likes on TPU: small (<=32), or a
+    multiple of 32.  Off sizes between the powers regress badly (b136/b144
+    measured ~30% below b128 per-image, benchmarks/PERF_NOTES.md)."""
+    return b <= 32 or b % 32 == 0
+
+
+def decompose_batch(b: int):
+    """Split a non-aligned batch into aligned chunks: the largest multiple
+    of 32, plus the remainder padded up to the next power of two (bounding
+    the number of compiled programs).  Returns [(chunk_size, n_valid)]."""
+    if aligned_batch(b):
+        return [(b, b)]
+    main = 32 * (b // 32)
+    rem = b - main
+    tgt = next(p for p in _SMALL_POW2 if p >= rem)
+    return [(main, main), (tgt, rem)]
+
+
+def pad_mask_batch(batch: dict, target: int) -> dict:
+    """Pad every leaf to ``target`` samples on axis 0 and attach a (target,)
+    0/1 validity mask.  Padded samples drop out of loss means and BN batch
+    statistics (see _make_grad_and_metrics), so the step is numerically the
+    trimmed batch's step."""
+    b = next(iter(jax.tree.leaves(batch))).shape[0]
+    mask = batch.get("mask")
+    if mask is None:
+        mask = jnp.ones((b,), jnp.float32)
+    if b == target and "mask" in batch:
+        return batch
+    pad = target - b
+
+    def pad_leaf(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    out = {k: jax.tree.map(pad_leaf, v)
+           for k, v in batch.items() if k != "mask"}
+    out["mask"] = jnp.pad(mask, (0, pad))
+    return out
 
 
 def make_train_step(num_classes: int, config: YoloConfig,
@@ -457,6 +529,8 @@ class Trainer:
         self._step = make_train_step(num_classes, config, self.optimizer,
                                      self.mesh)
         self._eval = make_eval_step(num_classes, config, self.mesh)
+        self._chunk_grad = None     # lazy: jitted grads for aligned chunks
+        self._chunk_combine = None  # lazy: weighted combine + Adam update
         self.global_step = 0
         self.history = []
 
@@ -467,13 +541,24 @@ class Trainer:
         return batch
 
     def train_step(self, batch) -> Optional[dict]:
-        """Run one optimizer step.  Returns the metrics dict, or ``None``
-        when the batch was a ragged epoch-final tail too small to split into
-        ``grad_accum_steps`` per-device micro-batches and was dropped
-        (drop-last semantics — ``fit`` just moves on to the next batch)."""
+        """Run one optimizer step.  Returns the metrics dict (never drops
+        samples on the single-device path: ragged batches are padded to an
+        XLA-aligned size with a validity mask, or split into aligned chunks
+        — pad-and-mask, replacing round 2's drop-last warning).  Returns
+        ``None`` only on the MESH path when a ragged epoch-final tail is too
+        small to split into ``grad_accum_steps`` per-device micro-batches
+        (there, unequal per-shard valid counts would mis-weight the gradient
+        all-reduce, so trim/drop semantics are kept)."""
         accum = self.config.grad_accum_steps
+        b = next(iter(jax.tree.leaves(batch))).shape[0]
+        if accum == 1 and self.mesh is None and not aligned_batch(b):
+            # Non-aligned batch (either a weird configured batch_size like
+            # 136, or a ragged epoch tail): run aligned chunks with valid-
+            # count-weighted gradient combination — b136 = b128 + b8 runs at
+            # ~b128 per-image throughput instead of the ~30% tiling
+            # regression of a native b136 program.
+            return self._chunked_step(batch)
         if accum > 1:
-            b = next(iter(jax.tree.leaves(batch))).shape[0]
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
             multiple = accum * n_dev
             # Misconfiguration (as opposed to a ragged tail) is judged
@@ -491,25 +576,78 @@ class Trainer:
                     f"grad_accum_steps={accum} x {n_dev}-device "
                     "micro-batches — lower grad_accum_steps or raise "
                     "batch_size")
-            # Ragged final generator batch (len(dataset) % batch != 0):
-            # trim to a whole number of micro-batch rounds, or skip it
-            # entirely when fewer than one round remains.  Announced once.
-            keep = (b // multiple) * multiple
-            if keep == 0:
-                self._warn_ragged(
-                    f"grad_accum: skipping {b}-sample tail batch(es) "
-                    f"(smaller than accum x devices = {multiple})")
-                return None
-            if keep < b:
-                self._warn_ragged(
-                    f"grad_accum: dropping {b - keep} tail sample(s) of "
-                    f"ragged batches (batch {b} -> {keep}, multiple of "
-                    f"{multiple})")
-                batch = jax.tree.map(lambda x: x[:keep], batch)
+            if b % multiple:
+                if self.mesh is None:
+                    # Ragged tail: pad to a whole number of micro-batch
+                    # rounds with a validity mask; the scan weights each
+                    # micro-grad by its valid count (all-padding chunks get
+                    # weight 0), so nothing is dropped and the update equals
+                    # the trimmed-tail mean.
+                    batch = pad_mask_batch(batch, -(-b // multiple) * multiple)
+                else:
+                    # Mesh path keeps trim/drop: unequal per-shard valid
+                    # counts would mis-weight the gradient all-reduce.
+                    keep = (b // multiple) * multiple
+                    if keep == 0:
+                        self._warn_ragged(
+                            f"grad_accum: skipping {b}-sample tail batch(es)"
+                            f" (smaller than accum x devices = {multiple})")
+                        return None
+                    self._warn_ragged(
+                        f"grad_accum: dropping {b - keep} tail sample(s) of "
+                        f"ragged batches (batch {b} -> {keep}, multiple of "
+                        f"{multiple})")
+                    batch = jax.tree.map(lambda x: x[:keep], batch)
             batch = chunk_batch(batch, accum)
         batch = self._place(batch, batch_axis=1 if accum > 1 else 0)
         self.params, self.state, self.opt_state, metrics = self._step(
             self.params, self.state, self.opt_state, batch)
+        self.global_step += 1
+        return metrics
+
+    def _chunked_step(self, batch) -> dict:
+        """One optimizer step over a non-aligned batch, as aligned chunks.
+
+        Each chunk runs the shared gradient core (its own BN batch stats —
+        the same local-stats semantics as the mesh step's per-replica BN);
+        gradients, BN states and metrics combine weighted by valid counts,
+        then one Adam update applies.  b136 -> b128 + b8 measures within a
+        few % of b128's per-image throughput (vs ~30% regression for a
+        native b136 program, benchmarks/PERF_NOTES.md)."""
+        if self._chunk_grad is None:
+            self._chunk_grad = jax.jit(
+                _make_grad_and_metrics(self.num_classes, self.config))
+
+            def combine_update(params, opt_state, gs, sts, ms, ws):
+                wsum = sum(ws)
+                wavg = lambda *xs: sum(  # noqa: E731
+                    w * x for w, x in zip(ws, xs)) / wsum
+                g = jax.tree.map(wavg, *gs)
+                st = jax.tree.map(wavg, *sts)
+                m = jax.tree.map(wavg, *ms)
+                updates, new_opt = self.optimizer.update(g, opt_state,
+                                                         params)
+                return optax.apply_updates(params, updates), st, new_opt, m
+
+            self._chunk_combine = jax.jit(combine_update,
+                                          donate_argnums=(0, 1))
+
+        b = next(iter(jax.tree.leaves(batch))).shape[0]
+        gs, sts, ms, ws = [], [], [], []
+        offset = 0
+        for size, valid in decompose_batch(b):
+            piece = jax.tree.map(lambda x: x[offset:offset + valid], batch)
+            offset += valid
+            if valid < size:
+                piece = pad_mask_batch(piece, size)
+            g, st, m = self._chunk_grad(self.params, self.state, piece)
+            gs.append(g)
+            sts.append(st)
+            ms.append(m)
+            ws.append(jnp.float32(valid))
+        self.params, self.state, self.opt_state, metrics = \
+            self._chunk_combine(self.params, self.opt_state,
+                                tuple(gs), tuple(sts), tuple(ms), tuple(ws))
         self.global_step += 1
         return metrics
 
@@ -565,24 +703,36 @@ class Trainer:
 
     def restore_checkpoint(self, path: str) -> int:
         """Restore a full training checkpoint; returns the next epoch."""
+        import numpy as np
+
         from . import checkpoint as ckpt
         params, wrapped, step, extra = ckpt.load_npz(path)
         self.params = params
         self.state = wrapped["model"]
         fresh_opt = self.optimizer.init(params)
         treedef = jax.tree.structure(fresh_opt)
-        if treedef.num_leaves != len(wrapped["opt_leaves"]):
+        fresh_leaves = jax.tree.leaves(fresh_opt)
+        saved_leaves = wrapped["opt_leaves"]
+        # Migration gate: leaf COUNT alone could match a different layout by
+        # coincidence and silently unflatten moments into the wrong slots;
+        # require per-leaf shape AND dtype agreement too.
+        compatible = (
+            treedef.num_leaves == len(saved_leaves)
+            and all(tuple(np.shape(s)) == tuple(np.shape(f))
+                    and np.asarray(s).dtype == np.asarray(f).dtype
+                    for s, f in zip(saved_leaves, fresh_leaves)))
+        if not compatible:
             # Checkpoint from a different optimizer format (e.g. pre-
             # inject_hyperparams plain Adam): params/step/epoch restore,
             # Adam moments restart — better than dying at resume time.
-            print(f"restore_checkpoint: optimizer state in {path} has "
-                  f"{len(wrapped['opt_leaves'])} leaves but the current "
-                  f"optimizer expects {treedef.num_leaves}; reinitializing "
-                  "optimizer state (params/step/epoch are restored)")
+            print(f"restore_checkpoint: optimizer state in {path} "
+                  f"({len(saved_leaves)} leaves) does not match the current "
+                  f"optimizer's layout ({treedef.num_leaves} leaves, "
+                  "shape/dtype-checked); reinitializing optimizer state "
+                  "(params/step/epoch are restored)")
             self.opt_state = fresh_opt
         else:
-            self.opt_state = jax.tree.unflatten(treedef,
-                                                wrapped["opt_leaves"])
+            self.opt_state = jax.tree.unflatten(treedef, saved_leaves)
         if self.mesh is not None:
             self.params = replicate(self.params, self.mesh)
             self.state = replicate(self.state, self.mesh)
