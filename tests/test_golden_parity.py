@@ -336,6 +336,14 @@ def test_eval_map_scorer_matches_reference(ref_modules, tmp_path):
     assert got_map == pytest.approx(ref_map, abs=1e-9)
     assert got[rare] == 0.0
 
+    # output.txt BYTE equality with the reference writer (reference
+    # models.py:275,399,402) — third-party tooling reads this file, so the
+    # text contract is pinned, not just the AP numbers.
+    ref_txt = (ref_out / "output.txt").read_text()
+    our_txt = (tmp_path / "our_out" / "output.txt").read_text()
+    assert our_txt == ref_txt
+    assert ref_txt.startswith("# AP and precision/recall per class\n")
+
 
 @pytest.mark.slow
 def test_keras_h5_reader_matches_darknet_loader(ref_modules, tmp_path):

@@ -7,7 +7,9 @@ working:
   - GT txts:   ``<class> <x1> <y1> <x2> <y2>`` per object, one file per image
   - pred txts: ``<class> <conf> <x1> <y1> <x2> <y2>``
   - temp JSON: per-image ``*_ground_truth.json`` + per-class ``*_dr.json``
-  - results:   ``output.txt`` with per-class AP and final mAP, plus PNG plots
+  - results:   ``output.txt`` byte-identical to the reference writer (header
+    + final mAP; per-class APs are printed and returned, reference
+    models.py:275,399,402), plus PNG plots
 
 Matching semantics kept exactly: greedy assignment over detections sorted by
 descending confidence, IoU with the +1-pixel convention (reference
@@ -280,7 +282,11 @@ def eval_map(gt_folder_path: str, pred_folder_path: str,
             ap_dictionary[class_name] = ap
             pr_curves[class_name] = (rec, prec, mrec, mpre)
             text = "{0:.2f}%".format(ap * 100) + " = " + class_name + " AP "
-            output_file.write(text + "\n")
+            # The reference only PRINTS the per-class AP line; output.txt
+            # gets just the header and the final mAP (the only
+            # output_file.write calls are reference models.py:275,399,402).
+            # Byte-equality with that writer is pinned by
+            # test_golden_parity.py::test_eval_map_scorer_matches_reference.
             if verbose:
                 print(text)
 
