@@ -184,3 +184,39 @@ def test_force_busy_heads_density_survives_bf16(rng):
     # original params untouched (deep-copied head convs)
     b0 = np.asarray(params["convs"][-1]["b"]).reshape(3, 5 + C)
     assert not np.any(b0[:, 4] == -6.0)
+
+
+def test_force_busy_heads_multiclass_all_heads(rng):
+    """4-tuple hot entries: per-channel logits spread candidates across all
+    three heads and many classes with controlled score ordering — the
+    bench's trained-density scene (bench.py HOT_MULTICLASS)."""
+    import jax.numpy as jnp
+    from yolov4tpu.models import network
+
+    C, reps = 24, (1, 1, 1, 1, 1)
+    hot = ([(2, 0, c, 3.0) for c in range(10)]
+           + [(1, 0, c, 2.0) for c in range(10, 20)]
+           + [(0, 0, 20, 0.8)])
+    params, state, _ = network.init(C, img_size=64, seed=0, csp_repeats=reps)
+    busy = weights.force_busy_heads(params, C, hot=hot)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    raws = [np.asarray(r, np.float32) for r in network.apply_folded(
+        network.fold_bn(busy, state), imgs, C, jnp.bfloat16, reps)]
+
+    def scores(r):
+        flat = r.reshape(r.shape[0], -1, 3, 5 + C)
+        return (1 / (1 + np.exp(-flat[..., 4:5]))) * \
+            (1 / (1 + np.exp(-flat[..., 5:])))  # (B, cells, 3, C)
+
+    s0, s1, s2 = (scores(r) for r in raws)
+    g0, g1, g2 = (r.shape[1] for r in raws)
+    # every cell of each hot channel clears 0.3 in exactly its hot classes
+    assert (s2[..., 0, :10] > 0.3).all() and not (s2[..., 0, 10:] > 0.3).any()
+    assert (s2[..., 1:, :] > 0.3).sum() == 0
+    assert (s1[..., 0, 10:20] > 0.3).all() and \
+        not (s1[..., 0, :10] > 0.3).any()
+    assert (s0[..., 0, 20] > 0.3).all()
+    # score ordering: head2 boxes outrank head1 outrank head0 (so the fused
+    # path's global top-k keeps the small grids first)
+    assert s2[..., 0, 0].min() > s1[..., 0, 10].max() > s0[..., 0, 20].max()
+    assert s0[..., 0, 20].min() > 0.3
