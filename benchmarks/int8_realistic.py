@@ -1,0 +1,187 @@
+"""Float-vs-int8 mAP on a model trained on a REALISTIC synthetic dataset.
+
+The sanity_overfit harness proves int8 keeps mAP 1.0 on a 2-image overfit —
+a weak accuracy bar (VERDICT r2 weak #4).  This harness trains on a few
+hundred generated multi-object scenes (noise backgrounds, brightness/scale
+jitter, 1-5 objects of 4 shape classes per image), evaluates on a held-out
+split, and reports the float-vs-int8 mAP delta through the FULL
+export_prediction + Cartucho-format eval pipeline — for both activation
+calibrations (max-abs and percentile), both dataflows.
+
+Usage: python benchmarks/int8_realistic.py [--steps 4000] [--n 300]
+Prints one JSON line with mAPs and deltas.  Sized for the TPU (~10-20 min);
+a 1-core CPU host takes hours.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CLASSES = ["box", "disc", "cross", "ring"]
+
+
+def draw_object(img, x1, y1, x2, y2, cls, rng):
+    """Draw one object; colors jittered so class identity is shape+hue."""
+    import cv2
+
+    cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
+    w, h = x2 - x1, y2 - y1
+    base = [(230, 60, 50), (60, 220, 70), (70, 90, 230), (235, 220, 60)][cls]
+    color = tuple(int(np.clip(c + rng.integers(-40, 40), 0, 255))
+                  for c in base)
+    if cls == 0:
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+    elif cls == 1:
+        cv2.ellipse(img, (cx, cy), (w // 2, h // 2), 0, 0, 360, color, -1)
+    elif cls == 2:
+        t = max(2, min(w, h) // 4)
+        cv2.rectangle(img, (cx - t, y1), (cx + t, y2), color, -1)
+        cv2.rectangle(img, (x1, cy - t), (x2, cy + t), color, -1)
+    else:
+        t = max(2, min(w, h) // 5)
+        cv2.ellipse(img, (cx, cy), (w // 2, h // 2), 0, 0, 360, color, t)
+
+
+def make_dataset(tmp, n, side, rng):
+    import cv2
+
+    os.makedirs(f"{tmp}/imgs", exist_ok=True)
+    annos = []
+    for i in range(n):
+        img = rng.integers(0, 90, (side, side, 3)).astype(np.uint8)
+        img = (img * rng.uniform(0.6, 1.4)).clip(0, 255).astype(np.uint8)
+        boxes, tries = [], 0
+        want = rng.integers(1, 6)
+        while len(boxes) < want and tries < 40:
+            tries += 1
+            w, h = rng.integers(14, side // 2, 2)
+            x1 = int(rng.integers(0, side - w))
+            y1 = int(rng.integers(0, side - h))
+            x2, y2 = x1 + int(w), y1 + int(h)
+            if any(not (x2 < a or x1 > b or y2 < c or y1 > d)
+                   for a, b, c, d, _ in boxes):
+                continue
+            cls = int(rng.integers(0, len(CLASSES)))
+            draw_object(img, x1, y1, x2, y2, cls, rng)
+            boxes.append((x1, y1, x2, y2, cls))
+        name = f"s{i}.jpg"
+        cv2.imwrite(f"{tmp}/imgs/{name}", img[:, :, ::-1])
+        annos.append(name + " " + " ".join(
+            f"{a},{b},{c},{d},{k}" for a, b, c, d, k in boxes))
+    return annos
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--img", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env-var platform selection "
+                         "is ignored once accelerator plugins are installed)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import jax.numpy as jnp
+
+    from yolov4tpu.api import Yolov4
+    from yolov4tpu.config import YoloConfig
+    from yolov4tpu.data.encode import preprocess_true_boxes
+    from yolov4tpu.train import Trainer, cosine_annealing_schedule
+
+    rng = np.random.default_rng(11)
+    tmp = tempfile.mkdtemp(prefix="int8_realistic_")
+    annos = make_dataset(tmp, args.n, args.img, rng)
+    n_val = min(max(4, args.n // 5), args.n // 2)
+    train_lines, val_lines = annos[:-n_val], annos[-n_val:]
+    open(f"{tmp}/anno_train.txt", "w").write("\n".join(train_lines) + "\n")
+    open(f"{tmp}/anno_val.txt", "w").write("\n".join(val_lines) + "\n")
+    open(f"{tmp}/classes.txt", "w").write("\n".join(CLASSES) + "\n")
+
+    side = args.img
+    cfg = YoloConfig(img_size=(side, side, 3), batch_size=args.batch,
+                     csp_repeats=(1, 1, 1, 1, 1), learning_rate=2e-3,
+                     compute_dtype="bfloat16", score_threshold=0.3,
+                     nms_pre_top_k=128)
+    model = Yolov4(weight_path=None, class_name_path=f"{tmp}/classes.txt",
+                   config=cfg, seed=3)
+
+    # Preload + pre-encode the whole (tiny) train set once.
+    def load(lines):
+        imgs, boxes = [], np.zeros((len(lines), 100, 5), np.float32)
+        for i, line in enumerate(lines):
+            parts = line.split()
+            im = cv2.imread(f"{tmp}/imgs/{parts[0]}")[:, :, ::-1]
+            imgs.append(im.astype(np.float32) / 255.0)
+            for j, bx in enumerate(parts[1:]):
+                boxes[i, j] = [float(v) for v in bx.split(",")]
+        return np.stack(imgs), boxes
+
+    timgs, tboxes = load(train_lines)
+    labels, xywh = preprocess_true_boxes(
+        tboxes, (side, side), cfg.anchors_flat, len(CLASSES))
+
+    sched = cosine_annealing_schedule(2e-3, 1e-5, cycle_epochs=1,
+                                      steps_per_epoch=max(args.steps, 1))
+    tr = Trainer(cfg, len(CLASSES), model.params, model.state,
+                 schedule=sched)
+    n_train = len(train_lines)
+    order = np.arange(n_train)
+    bs, pos = args.batch, 0
+    for step in range(args.steps):
+        if pos + bs > n_train:
+            rng.shuffle(order)
+            pos = 0
+        idx = order[pos:pos + bs]
+        pos += bs
+        batch = {"image": jnp.asarray(timgs[idx]),
+                 "labels": [jnp.asarray(l[idx]) for l in labels],
+                 "boxes": jnp.asarray(xywh[idx])}
+        m = tr.train_step(batch)
+        if step % 500 == 0:
+            print(f"# step {step} loss {float(m['loss']):.3f}",
+                  file=sys.stderr, flush=True)
+    model.sync_from_trainer(tr)
+
+    calib = timgs[:64]  # calibration = training distribution
+    gt_dir = f"{tmp}/gt"
+    model.export_gt(f"{tmp}/anno_val.txt", gt_dir)
+
+    def eval_variant(tag):
+        pred = f"{tmp}/pred_{tag}"
+        model.export_prediction(f"{tmp}/anno_val.txt", pred, f"{tmp}/imgs",
+                                verbose=False)
+        res = model.eval_map(gt_dir, pred, f"{tmp}/json_{tag}",
+                             f"{tmp}/out_{tag}", plot=False, verbose=False)
+        return res
+
+    out = {"steps": args.steps, "n_train": n_train, "n_val": n_val,
+           "img": side, "final_loss": round(float(m["loss"]), 3)}
+    res_f = eval_variant("float")
+    out["mAP_float"] = res_f.pop("mAP")
+    out["per_class_float"] = res_f
+    for method in ("max", "percentile"):
+        for dataflow in ("int8", "bf16"):
+            model.quantize(calib_imgs=calib, dataflow=dataflow,
+                           calib_method=method)
+            tag = f"{method}_{dataflow}"
+            out[f"mAP_int8_{tag}"] = eval_variant(tag)["mAP"]
+            out[f"delta_{tag}"] = round(
+                out["mAP_float"] - out[f"mAP_int8_{tag}"], 6)
+            model.dequantize()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,40 @@ def test_calibration_records_tensor_maxima(quantized_setup):
     assert len(scales["add_out"]) == 5
 
 
+def test_percentile_calibration_clips_outlier_tail(quantized_setup):
+    """method='percentile' must shrink the scale of a tensor whose max is an
+    outlier spike: one hot pixel inflates the max-abs scale ~40x while the
+    99.9th percentile barely moves (the robustness max-abs lacks on trained
+    heavy-tailed distributions)."""
+    params, state, _, imgs, folded, _, scales_max = quantized_setup
+    spiked = imgs.copy()
+    spiked[0, 0, 0, 0] = 40.0  # one absurd pixel in an otherwise [0,1] set
+
+    s_max = quantize.calibrate(folded, spiked, C, jnp.float32, REPS)
+    s_pct = quantize.calibrate(folded, spiked, C, jnp.float32, REPS,
+                               method="percentile", percentile=99.9)
+    # conv 0's input is the image: max-abs sees the spike, percentile not
+    assert s_max["conv_in"][0] == pytest.approx(40.0 / QMAX, rel=1e-5)
+    assert s_pct["conv_in"][0] < 2.0 / QMAX
+    # percentile scales never exceed max-abs scales anywhere
+    for k in ("conv_in", "conv_out", "add_out"):
+        assert np.all(s_pct[k] <= s_max[k] * (1 + 1e-6))
+        assert np.all(s_pct[k] > 0)
+    # on the clean set, 99.9th percentile stays within the max-abs scale
+    s_pct_clean = quantize.calibrate(folded, imgs, C, jnp.float32, REPS,
+                                     method="percentile")
+    for k in ("conv_in", "conv_out"):
+        ratio = s_pct_clean[k] / scales_max[k]
+        assert np.all(ratio <= 1 + 1e-6) and np.all(ratio > 0.2)
+
+    with pytest.raises(ValueError, match="'max' or 'percentile'"):
+        quantize.calibrate(folded, imgs, C, jnp.float32, REPS,
+                           method="entropy")
+    with pytest.raises(ValueError, match="percentile must be"):
+        quantize.calibrate(folded, imgs, C, jnp.float32, REPS,
+                           method="percentile", percentile=0.0)
+
+
 @pytest.mark.parametrize("dataflow", ["int8", "bf16"])
 def test_quantized_raw_grids_track_float(quantized_setup, dataflow):
     """Relative RMS error of the int8 forward vs the float folded forward

@@ -245,7 +245,8 @@ class Yolov4:
         return self
 
     def quantize(self, calib_imgs=None, calib_paths: Optional[Sequence[str]] = None,
-                 dataflow: str = "int8"):
+                 dataflow: str = "int8", calib_method: str = "max",
+                 calib_percentile: float = 99.9):
         """Switch inference to int8 (post-training quantization).
 
         TPU v5e's MXU runs int8 at twice the bf16 rate; this calibrates
@@ -257,9 +258,12 @@ class Yolov4:
 
         calib_imgs: (N,H,W,3) float [0,1] model-space images, and/or
         calib_paths: image files run through preprocess_img.  A few dozen
-        frames from the deployment distribution suffice (max-abs calibration).
+        frames from the deployment distribution suffice.
         dataflow: "int8" keeps inter-op activations int8 (half the HBM
         traffic); "bf16" is the conservative per-conv scheme.
+        calib_method: "max" (exact range) or "percentile" (clip the
+        |activation| tail at calib_percentile — more robust when the
+        trained distribution has outlier spikes; see quantize.calibrate).
         """
         if dataflow not in ("int8", "bf16"):
             raise ValueError(
@@ -280,7 +284,8 @@ class Yolov4:
         self._act_scales = calibrate(
             folded, np.concatenate(imgs),
             self.num_classes, self._compute_dtype,
-            csp_repeats=self.config.csp_repeats)
+            csp_repeats=self.config.csp_repeats,
+            method=calib_method, percentile=calib_percentile)
         self._q_dataflow = dataflow
         self._refresh_inference(folded)
         return self

@@ -79,16 +79,30 @@ class _CalibApplyOps(_FoldedApplyOps):
     conv records are exactly one entry per conv in serial order.
     """
 
-    def __init__(self, params, compute_dtype=jnp.float32, s2d_stem=False):
+    def __init__(self, params, compute_dtype=jnp.float32, s2d_stem=False,
+                 quantile: Optional[float] = None):
         assert not s2d_stem, "calibration needs the plain 1:1 conv order"
         super().__init__(params, compute_dtype, s2d_stem=False)
         self.conv_in: List[jnp.ndarray] = []
         self.conv_out: List[jnp.ndarray] = []
         self.add_out: List[jnp.ndarray] = []
+        # None -> exact max-abs; q in (0,1] -> that quantile of |x| (clips
+        # the outlier tail — max-abs is fragile on heavy-tailed trained
+        # activations, where one spike inflates the scale and crushes the
+        # resolution of everything else).
+        self.quantile = quantile
 
-    @staticmethod
-    def _amax(x):
-        return jnp.max(jnp.abs(x)).astype(jnp.float32)
+    def _amax(self, x):
+        ax = jnp.abs(x).astype(jnp.float32)
+        if self.quantile is None:
+            return jnp.max(ax)
+        flat = ax.ravel()
+        if flat.size > 65536:
+            # Deterministic strided subsample: a tail quantile needs the
+            # distribution's shape, not every element — full sorts of
+            # multi-MB activations would dominate the (offline) pass.
+            flat = flat[::-(-flat.size // 65536)]
+        return jnp.quantile(flat, self.quantile)
 
     def conv(self, x, filters, kernel_size, downsampling=False,
              activation="leaky", batch_norm=True):
@@ -108,18 +122,38 @@ class _CalibApplyOps(_FoldedApplyOps):
 def calibrate(folded_params: Params, images, num_classes: int,
               compute_dtype=jnp.bfloat16,
               csp_repeats=topology.DEFAULT_CSP_REPEATS,
-              batch_size: int = 8) -> Dict[str, np.ndarray]:
+              batch_size: int = 8,
+              method: str = "max",
+              percentile: float = 99.9) -> Dict[str, np.ndarray]:
     """Per-tensor activation scales from representative images.
 
     images: (N,H,W,3) float [0,1] — a few dozen frames from the target
-    distribution suffice for max-abs calibration.  Returns float32 scale
-    arrays ``{"conv_in": (n_convs,), "conv_out": (n_convs,),
-    "add_out": (n_adds,)}``: max|tensor| / 127, elementwise max over all
-    calibration batches.
+    distribution suffice.  Returns float32 scale arrays
+    ``{"conv_in": (n_convs,), "conv_out": (n_convs,), "add_out":
+    (n_adds,)}``, elementwise max over all calibration batches of:
+
+    - ``method="max"``: max|tensor| / 127 (exact range; fragile when a
+      trained distribution has a heavy outlier tail — one spike inflates
+      the scale and quantization resolution collapses for the bulk).
+    - ``method="percentile"``: the ``percentile`` (default 99.9) quantile
+      of |tensor| / 127 — saturates the outlier tail instead, trading a
+      few clipped activations for 8-bit resolution where the mass is.
     """
+    if method == "max":
+        q = None
+    elif method == "percentile":
+        if not 0.0 < percentile <= 100.0:
+            raise ValueError(f"percentile must be in (0, 100], "
+                             f"got {percentile}")
+        q = percentile / 100.0
+    else:
+        raise ValueError(
+            f"method must be 'max' or 'percentile', got {method!r}")
+
     @jax.jit
     def one_batch(folded, imgs):
-        ops = _CalibApplyOps(folded, compute_dtype, s2d_stem=False)
+        ops = _CalibApplyOps(folded, compute_dtype, s2d_stem=False,
+                             quantile=q)
         topology.yolov4(ops, imgs, num_classes, csp_repeats)
         return (jnp.stack(ops.conv_in), jnp.stack(ops.conv_out),
                 jnp.stack(ops.add_out) if ops.add_out
