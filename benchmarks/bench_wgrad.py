@@ -1,0 +1,102 @@
+"""Pallas vs XLA 3x3-s1 weight-gradient kernel bench (real TPU).
+
+Scan-amortised (the axon tunnel has a ~0.7 ms dispatch floor — see
+PERF_NOTES.md): each variant runs `iters` wgrads inside ONE jitted scan,
+accumulating the result so the op cannot be dead-code-eliminated; timing
+checks linearity in iters (a hoisted loop-invariant op would be obvious).
+Correctness is asserted against XLA on the first shape before timing.
+
+Usage: python benchmarks/bench_wgrad.py [--iters 20] [--batch 128]
+Prints one JSON line: per-shape ms + achieved TFLOP/s for both variants.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (H, W, Ci, Co, bt, ht) — the net's 3x3 s1 conv shapes at 416^2
+SHAPES = [
+    (104, 104, 64, 64, 8, 8),      # stage-2 residual 3x3
+    (52, 52, 128, 128, 8, 4),      # stage-3 residual 3x3 (x8)
+    (26, 26, 256, 256, 16, 2),     # stage-4 residual 3x3 (x8)
+    (13, 13, 512, 512, 16, 13),    # stage-5 residual 3x3 (x4)
+    (52, 52, 128, 256, 8, 4),      # neck 3x3 @52
+    (26, 26, 256, 512, 16, 2),     # neck 3x3 @26
+    (13, 13, 512, 1024, 8, 13),    # neck/SPP 3x3 @13
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from yolov4tpu.ops.wgrad_pallas import wgrad_3x3_s1, wgrad_xla_3x3_s1
+
+    interpret = jax.default_backend() != "tpu"
+    B = args.batch
+    out = {"batch": B, "iters": args.iters, "shapes": {}}
+
+    for (H, W, Ci, Co, bt, ht) in SHAPES:
+        bt = min(bt, B)  # tiny smoke batches
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (B, H, W, Ci)), jnp.bfloat16)
+        dy = jnp.asarray(rng.normal(0, 1, (B, H, W, Co)), jnp.bfloat16)
+        flops = 2 * 9 * B * H * W * Ci * Co
+
+        def run_scan(fn, x, dy, iters):
+            def body(acc, _):
+                return acc + fn(x, dy), None
+            acc, _ = lax.scan(body, jnp.zeros((3, 3, Ci, Co), jnp.float32),
+                              None, length=iters)
+            return acc[0, 0, 0, 0]
+
+        pall = jax.jit(lambda x, dy, i=args.iters, b=bt, h=ht: run_scan(
+            lambda a, c: wgrad_3x3_s1(a, c, bt=b, ht=h,
+                                      interpret=interpret), x, dy, i))
+        xla = jax.jit(lambda x, dy, i=args.iters: run_scan(
+            wgrad_xla_3x3_s1, x, dy, i))
+
+        # correctness on this shape before timing
+        got = np.asarray(wgrad_3x3_s1(x, dy, bt=bt, ht=ht,
+                                      interpret=interpret))
+        want = np.asarray(wgrad_xla_3x3_s1(x, dy))
+        err = (np.sqrt(np.mean((got - want) ** 2))
+               / (np.sqrt(np.mean(want ** 2)) + 1e-12))
+        rec = {"rel_rms_vs_xla": round(float(err), 6)}
+
+        for name, fn in (("pallas", pall), ("xla", xla)):
+            float(fn(x, dy))  # compile + warm
+            t0 = time.perf_counter()
+            float(fn(x, dy))
+            dt = (time.perf_counter() - t0) / args.iters
+            rec[f"{name}_ms"] = round(dt * 1000, 3)
+            rec[f"{name}_tflops"] = round(flops / dt / 1e12, 1)
+        rec["speedup"] = round(rec["xla_ms"] / rec["pallas_ms"], 3)
+        out["shapes"][f"{H}x{W}x{Ci}->{Co}"] = rec
+        print(f"# {H}x{W}x{Ci}->{Co}: pallas {rec['pallas_ms']} ms "
+              f"({rec['pallas_tflops']} TF/s) vs xla {rec['xla_ms']} ms "
+              f"({rec['xla_tflops']} TF/s), err {rec['rel_rms_vs_xla']}",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

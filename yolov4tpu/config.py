@@ -91,6 +91,14 @@ class YoloConfig:
     # on v5e); scale/shift still learn.  Validate convergence per workload.
     bn_stats_gradient: bool = True
 
+    # Pallas weight-gradient kernel for the 3x3 stride-1 convs in training:
+    # the backward's wgrad convolutions (batch-space reductions into a tiny
+    # 3x3 kernel) are XLA's weakest conv shape; the Pallas tap-GEMM kernel
+    # (ops/wgrad_pallas.py) reads each activation slab once and keeps all
+    # nine (Ci,Co) accumulators in VMEM.  Forward and data-gradient stay
+    # XLA; numerics match XLA's wgrad (bf16 operands, f32 accumulation).
+    pallas_wgrad: bool = False
+
     # Aspect-preserving letterbox resize (gray padding) instead of the
     # reference's stretch resize (reference utils.py:195).  Off by default
     # for parity; affects training pipeline, inference and eval export alike.

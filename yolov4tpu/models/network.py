@@ -175,7 +175,7 @@ class _ApplyOps:
 
     def __init__(self, params: Params, state: State, train: bool,
                  compute_dtype=jnp.float32, stats_gradient: bool = True,
-                 sample_mask=None):
+                 sample_mask=None, pallas_wgrad: bool = False):
         self.convs = params["convs"]
         self.bn = state["bn"]
         self.train = train
@@ -185,6 +185,9 @@ class _ApplyOps:
         # computed over the VALID samples only, so a pad-to-aligned-batch
         # step is numerically a trimmed-batch step (see make_train_step).
         self.sample_mask = sample_mask
+        # Opt-in custom backward for 3x3 s1 convs (YoloConfig.pallas_wgrad):
+        # Pallas tap-GEMM weight gradients, XLA forward/dgrad unchanged.
+        self.pallas_wgrad = pallas_wgrad
         self.i = 0
         self.new_bn: List[Optional[Dict[str, jnp.ndarray]]] = []
 
@@ -203,7 +206,13 @@ class _ApplyOps:
             stride, padding = 1, "SAME"
 
         w = p["w"].astype(self.dtype)
-        y = _conv2d(x.astype(self.dtype), w, stride, padding)
+        xc = x.astype(self.dtype)
+        if (self.pallas_wgrad and self.train and kernel_size == 3
+                and not downsampling):
+            from ..ops.wgrad_pallas import conv3x3_s1
+            y = conv3x3_s1(xc, w)
+        else:
+            y = _conv2d(xc, w, stride, padding)
 
         if batch_norm:
             gamma = p["gamma"]
@@ -297,7 +306,8 @@ class _ApplyOps:
 def apply(params: Params, state: State, images, num_classes: int,
           train: bool = False, compute_dtype=jnp.float32,
           csp_repeats=topology.DEFAULT_CSP_REPEATS,
-          bn_stats_gradient: bool = True, sample_mask=None):
+          bn_stats_gradient: bool = True, sample_mask=None,
+          pallas_wgrad: bool = False):
     """Forward pass: images (B,H,W,3) -> ([sbbox, mbbox, lbbox], new_state).
 
     Raw un-activated head outputs, shapes (B, H/8, W/8, 3*(C+5)) etc.
@@ -309,7 +319,7 @@ def apply(params: Params, state: State, images, num_classes: int,
     """
     ops = _ApplyOps(params, state, train, compute_dtype,
                     stats_gradient=bn_stats_gradient,
-                    sample_mask=sample_mask)
+                    sample_mask=sample_mask, pallas_wgrad=pallas_wgrad)
     outs = topology.yolov4(ops, images, num_classes, csp_repeats)
     outs = [o.astype(jnp.float32) for o in outs]
     new_state = {"bn": ops.new_bn} if train else state

@@ -166,7 +166,7 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
                     compute_dtype=compute_dtype,
                     csp_repeats=config.csp_repeats,
                     bn_stats_gradient=config.bn_stats_gradient,
-                    sample_mask=mask)
+                    sample_mask=mask, pallas_wgrad=config.pallas_wgrad)
                 return yolo_loss(
                     outs, batch["labels"], batch["boxes"], anchors,
                     config.strides, num_classes, config.iou_loss_thresh,
@@ -185,7 +185,7 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
                 p, state, batch["image"], num_classes, train=True,
                 compute_dtype=compute_dtype, csp_repeats=config.csp_repeats,
                 bn_stats_gradient=config.bn_stats_gradient,
-                sample_mask=mask)
+                sample_mask=mask, pallas_wgrad=config.pallas_wgrad)
             total, comps = yolo_loss(
                 outs, batch["labels"], batch["boxes"], anchors,
                 config.strides, num_classes, config.iou_loss_thresh,
