@@ -20,15 +20,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (H, W, Ci, Co, bt, ht) — the net's 3x3 s1 conv shapes at 416^2
+# (H, W, Ci, Co) — the net's 3x3 s1 conv shapes at 416^2 (tiles auto-picked)
 SHAPES = [
-    (104, 104, 64, 64, 8, 8),      # stage-2 residual 3x3
-    (52, 52, 128, 128, 8, 4),      # stage-3 residual 3x3 (x8)
-    (26, 26, 256, 256, 16, 2),     # stage-4 residual 3x3 (x8)
-    (13, 13, 512, 512, 16, 13),    # stage-5 residual 3x3 (x4)
-    (52, 52, 128, 256, 8, 4),      # neck 3x3 @52
-    (26, 26, 256, 512, 16, 2),     # neck 3x3 @26
-    (13, 13, 512, 1024, 8, 13),    # neck/SPP 3x3 @13
+    (104, 104, 64, 64),      # stage-2 residual 3x3
+    (52, 52, 128, 128),      # stage-3 residual 3x3 (x8)
+    (26, 26, 256, 256),      # stage-4 residual 3x3 (x8)
+    (13, 13, 512, 512),      # stage-5 residual 3x3 (x4)
+    (52, 52, 128, 256),      # neck 3x3 @52
+    (26, 26, 256, 512),      # neck 3x3 @26
+    (13, 13, 512, 1024),     # neck/SPP 3x3 @13
 ]
 
 
@@ -47,14 +47,20 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from yolov4tpu.ops.wgrad_pallas import wgrad_3x3_s1, wgrad_xla_3x3_s1
+    from yolov4tpu.ops.wgrad_pallas import (_pick_tiles, wgrad_3x3_s1,
+                                            wgrad_xla_3x3_s1)
 
     interpret = jax.default_backend() != "tpu"
     B = args.batch
     out = {"batch": B, "iters": args.iters, "shapes": {}}
 
-    for (H, W, Ci, Co, bt, ht) in SHAPES:
-        bt = min(bt, B)  # tiny smoke batches
+    for (H, W, Ci, Co) in SHAPES:
+        tiles = _pick_tiles(B, H, W, Ci, Co)
+        if tiles is None:
+            print(f"# {H}x{W}x{Ci}->{Co}: no tile fit, skipped",
+                  file=sys.stderr)
+            continue
+        bt, ht, ct = tiles
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(0, 1, (B, H, W, Ci)), jnp.bfloat16)
         dy = jnp.asarray(rng.normal(0, 1, (B, H, W, Co)), jnp.bfloat16)
@@ -67,19 +73,21 @@ def main():
                               None, length=iters)
             return acc[0, 0, 0, 0]
 
-        pall = jax.jit(lambda x, dy, i=args.iters, b=bt, h=ht: run_scan(
-            lambda a, c: wgrad_3x3_s1(a, c, bt=b, ht=h,
-                                      interpret=interpret), x, dy, i))
+        pall = jax.jit(lambda x, dy, i=args.iters, b=bt, h=ht, c=ct:
+                       run_scan(lambda a, g: wgrad_3x3_s1(
+                           a, g, bt=b, ht=h, ct=c,
+                           interpret=interpret), x, dy, i))
         xla = jax.jit(lambda x, dy, i=args.iters: run_scan(
             wgrad_xla_3x3_s1, x, dy, i))
 
         # correctness on this shape before timing
-        got = np.asarray(wgrad_3x3_s1(x, dy, bt=bt, ht=ht,
+        got = np.asarray(wgrad_3x3_s1(x, dy, bt=bt, ht=ht, ct=ct,
                                       interpret=interpret))
         want = np.asarray(wgrad_xla_3x3_s1(x, dy))
         err = (np.sqrt(np.mean((got - want) ** 2))
                / (np.sqrt(np.mean(want ** 2)) + 1e-12))
-        rec = {"rel_rms_vs_xla": round(float(err), 6)}
+        rec = {"rel_rms_vs_xla": round(float(err), 6),
+               "tiles": [bt, ht, ct]}
 
         for name, fn in (("pallas", pall), ("xla", xla)):
             float(fn(x, dy))  # compile + warm

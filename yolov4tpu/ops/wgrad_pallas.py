@@ -40,10 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _wgrad_kernel(x_hbm, dy_ref, out_ref, xs, sem, *,
-                  bt: int, ht: int, W: int, Ci: int, Co: int):
-    """One grid step: DMA the haloed x slab, 9 tap-GEMMs into out_ref."""
-    bi = pl.program_id(0)
-    hi = pl.program_id(1)
+                  bt: int, ht: int, W: int, Ci: int, ct: int):
+    """One grid step: DMA the haloed x slab, 9 tap-GEMMs into out_ref.
+
+    Grid is (Co/ct, B/bt, H/ht) with the Co-tile axis SLOWEST so the output
+    block (all nine (Ci, ct) accumulators) stays VMEM-resident across the
+    whole inner (batch, rows) sweep; x re-streams once per Co tile."""
+    bi = pl.program_id(1)
+    hi = pl.program_id(2)
 
     # x is pre-padded to (B, H+2, W+2, Ci); the slab for output rows
     # [hi*ht, hi*ht+ht) needs padded rows [hi*ht, hi*ht+ht+2).
@@ -55,7 +59,7 @@ def _wgrad_kernel(x_hbm, dy_ref, out_ref, xs, sem, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    dyt = dy_ref[:].reshape(bt * ht * W, Co)
+    dyt = dy_ref[:].reshape(bt * ht * W, ct)
     copy.wait()
 
     for ky in range(3):
@@ -67,33 +71,42 @@ def _wgrad_kernel(x_hbm, dy_ref, out_ref, xs, sem, *,
             out_ref[ky, kx] += part
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "ht", "interpret"))
-def wgrad_3x3_s1(x, dy, bt: int = 8, ht: int = 8, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("bt", "ht", "ct", "interpret"))
+def wgrad_3x3_s1(x, dy, bt: int = 8, ht: int = 8, ct: int = None,
+                 interpret: bool = False):
     """Weight gradient of a 3x3 stride-1 SAME conv (NHWC/HWIO).
 
     x: (B,H,W,Ci) activations; dy: (B,H,W,Co) output cotangent.
-    Returns (3,3,Ci,Co) float32.  B must divide by bt and H by ht
-    (callers fall back to XLA otherwise — conv shapes in this net are
-    powers of two times 13/26/52/104, so bt/ht picks exist for all).
+    Returns (3,3,Ci,Co) float32.  B must divide by bt, H by ht, and Co by
+    ct (callers fall back to XLA otherwise — conv shapes in this net are
+    powers of two times 13/26/52/104, so picks exist for all).  ct splits
+    wide-Co outputs (e.g. 512->1024, whose nine f32 accumulators alone are
+    19 MB) across the slowest grid axis at the cost of re-streaming x once
+    per Co tile.
     """
     B, H, W, Ci = x.shape
     Co = dy.shape[-1]
+    ct = Co if ct is None else ct
     assert dy.shape[:3] == (B, H, W), (x.shape, dy.shape)
-    assert B % bt == 0 and H % ht == 0, (B, H, bt, ht)
+    assert B % bt == 0 and H % ht == 0 and Co % ct == 0, \
+        (B, H, Co, bt, ht, ct)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    kern = functools.partial(_wgrad_kernel, bt=bt, ht=ht, W=W, Ci=Ci, Co=Co)
+    kern = functools.partial(_wgrad_kernel, bt=bt, ht=ht, W=W, Ci=Ci, ct=ct)
     flops = 2 * 9 * B * H * W * Ci * Co
+    n_ct = Co // ct
     return pl.pallas_call(
         kern,
-        grid=(B // bt, H // ht),
+        grid=(n_ct, B // bt, H // ht),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
-            pl.BlockSpec((bt, ht, W, Co),
-                         lambda bi, hi: (bi, hi, 0, 0),
+            pl.BlockSpec((bt, ht, W, ct),
+                         lambda ci, bi, hi: (bi, hi, 0, ci),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, 3, Ci, Co), lambda bi, hi: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((3, 3, Ci, ct),
+                               lambda ci, bi, hi: (0, 0, 0, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 3, Ci, Co), jnp.float32),
         scratch_shapes=[
@@ -102,7 +115,7 @@ def wgrad_3x3_s1(x, dy, bt: int = 8, ht: int = 8, interpret: bool = False):
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=x.size * x.dtype.itemsize
+            bytes_accessed=n_ct * x.size * x.dtype.itemsize
             + dy.size * dy.dtype.itemsize + 9 * Ci * Co * 4,
             transcendentals=0),
         interpret=interpret,
@@ -110,44 +123,49 @@ def wgrad_3x3_s1(x, dy, bt: int = 8, ht: int = 8, interpret: bool = False):
 
 
 def _pick_tiles(B, H, W, Ci, Co, itemsize=2, budget=10 * 2 ** 20):
-    """Choose (bt, ht) grid tiles: the largest K-tile (= bt*ht*W contraction
-    rows per tap-GEMM) whose x slab + double-buffered dy block + 9 f32
-    accumulators fit the VMEM budget.  None when nothing fits (caller falls
-    back to the XLA conv backward)."""
-    best, best_k = None, 0
-    for bt in (1, 2, 4, 8, 16, 32):
-        if B % bt:
-            continue
-        for ht in range(1, H + 1):
-            if H % ht:
+    """Choose (bt, ht, ct) grid tiles: the largest K-tile (= bt*ht*W
+    contraction rows per tap-GEMM), then the widest Co tile (fewer x
+    re-streams), such that x slab + double-buffered dy block + the nine
+    f32 (Ci, ct) accumulators fit the VMEM budget.  None when nothing fits
+    (caller falls back to the XLA conv backward)."""
+    cts = [c for c in (Co, Co // 2, Co // 4, Co // 8)
+           if c and Co % c == 0 and c % 128 == 0] or [Co]
+    best, best_score = None, (0, 0)
+    for ct in cts:
+        for bt in (1, 2, 4, 8, 16, 32):
+            if B % bt:
                 continue
-            need = (bt * (ht + 2) * (W + 2) * Ci * itemsize
-                    + 2 * bt * ht * W * Co * itemsize + 9 * Ci * Co * 4)
-            k = bt * ht * W
-            if need <= budget and k > best_k:
-                best, best_k = (bt, ht), k
+            for ht in range(1, H + 1):
+                if H % ht:
+                    continue
+                need = (bt * (ht + 2) * (W + 2) * Ci * itemsize
+                        + 2 * bt * ht * W * ct * itemsize
+                        + 9 * Ci * ct * 4)
+                score = (bt * ht * W, ct)
+                if need <= budget and score > best_score:
+                    best, best_score = (bt, ht, ct), score
     return best
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _conv3x3_custom(x, w, bt, ht, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv3x3_custom(x, w, bt, ht, ct, interpret):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _conv3x3_custom_fwd(x, w, bt, ht, interpret):
-    return _conv3x3_custom(x, w, bt, ht, interpret), (x, w)
+def _conv3x3_custom_fwd(x, w, bt, ht, ct, interpret):
+    return _conv3x3_custom(x, w, bt, ht, ct, interpret), (x, w)
 
 
-def _conv3x3_custom_bwd(bt, ht, interpret, res, g):
+def _conv3x3_custom_bwd(bt, ht, ct, interpret, res, g):
     x, w = res
     # dgrad: XLA's own transpose (conv of g with the 180-rotated, IO-swapped
     # kernel) — already efficient; only the wgrad needed a custom kernel.
     dx = jax.lax.conv_general_dilated(
         g, jnp.flip(w, (0, 1)).swapaxes(2, 3), window_strides=(1, 1),
         padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    dw = wgrad_3x3_s1(x, g, bt=bt, ht=ht, interpret=interpret)
+    dw = wgrad_3x3_s1(x, g, bt=bt, ht=ht, ct=ct, interpret=interpret)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
@@ -167,7 +185,7 @@ def conv3x3_s1(x, w):
             x, w, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
     interpret = jax.default_backend() != "tpu"
-    return _conv3x3_custom(x, w, tiles[0], tiles[1], interpret)
+    return _conv3x3_custom(x, w, tiles[0], tiles[1], tiles[2], interpret)
 
 
 def wgrad_xla_3x3_s1(x, dy):
