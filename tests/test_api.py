@@ -300,6 +300,18 @@ def test_eval_example_cli(model, tmp_path, rng, capsys, monkeypatch):
     assert os.path.exists(str(tmp_path / "eval" / "result" / "output.txt"))
 
 
+def test_predict_batch_ragged_pads_to_aligned(model, rng):
+    """A ragged inference batch (b=3) pads to the aligned bucket (4) and
+    slices back — per-sample outputs identical to the aligned batch's first
+    rows (inference samples are independent), no odd-size program compiled."""
+    imgs = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    full = model.predict_batch(imgs)
+    ragged = model.predict_batch(imgs[:3])
+    for a, b in zip(ragged, full):
+        assert a.shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:3])
+
+
 def test_quantize_validates_dataflow_eagerly(model, rng):
     """Invalid dataflow raises ValueError up front, not a KeyError at
     jit-trace time inside apply_quantized (advisor finding r2)."""

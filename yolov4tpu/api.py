@@ -30,6 +30,7 @@ from . import evalmap, weights
 from .config import DEFAULT_CONFIG, YoloConfig
 from .models import head, network
 from .ops.nms import combined_nms
+from .train import aligned_size
 from .utils.visualize import draw_bbox, get_detection_data
 
 
@@ -365,8 +366,20 @@ class Yolov4:
         iou_t = self.config.iou_threshold if iou_threshold is None else iou_threshold
         score_t = (self.config.score_threshold if score_threshold is None
                    else score_threshold)
-        return self._infer_fn(self._folded, jnp.asarray(imgs, jnp.float32),
-                              iou_t, score_t)
+        imgs = jnp.asarray(imgs, jnp.float32)
+        # Pad ragged batches (e.g. the tail of predict_paths /
+        # export_prediction) to an XLA-aligned size: inference samples are
+        # independent, so padding is exact — and it avoids both the
+        # non-aligned conv-tiling regression and a fresh multi-minute
+        # compile per odd tail size (train.aligned_size buckets).
+        b = imgs.shape[0]
+        target = aligned_size(b)
+        if target != b:
+            imgs = jnp.pad(imgs, ((0, target - b), (0, 0), (0, 0), (0, 0)))
+        out = self._infer_fn(self._folded, imgs, iou_t, score_t)
+        if target != b:
+            out = jax.tree.map(lambda o: o[:b], out)
+        return out
 
     def predict_paths(self, img_paths, bs: int = 8,
                       iou_threshold: Optional[float] = None,

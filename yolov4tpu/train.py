@@ -283,6 +283,14 @@ def aligned_batch(b: int) -> bool:
     return b <= 32 or b % 32 == 0
 
 
+def aligned_size(b: int) -> int:
+    """Smallest aligned batch >= b (next power of two up to 32, then the
+    next multiple of 32)."""
+    if b <= 32:
+        return next(p for p in _SMALL_POW2 if p >= b)
+    return -(-b // 32) * 32
+
+
 def decompose_batch(b: int):
     """Split a non-aligned batch into aligned chunks: the largest multiple
     of 32, plus the remainder padded up to the next power of two (bounding
