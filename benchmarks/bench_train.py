@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8, help="per-device batch")
     ap.add_argument("--devices", type=int, default=1)
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--pallas-wgrad", action="store_true",
+                    help="Pallas 3x3 weight-gradient kernel in the backward")
+    ap.add_argument("--no-bn-stats-grad", action="store_true",
+                    help="stop gradients through BN batch statistics")
     args = ap.parse_args()
 
     import jax
@@ -33,7 +37,9 @@ def main():
     from yolov4tpu.train import make_optimizer, make_train_step
 
     cfg = YoloConfig(img_size=(args.img, args.img, 3), batch_size=args.batch,
-                     num_devices=args.devices, compute_dtype=args.dtype)
+                     num_devices=args.devices, compute_dtype=args.dtype,
+                     pallas_wgrad=args.pallas_wgrad,
+                     bn_stats_gradient=not args.no_bn_stats_grad)
     mesh = make_mesh(args.devices) if args.devices > 1 else None
 
     params, state, _ = network.init(args.classes, img_size=args.img, seed=0)
@@ -92,6 +98,8 @@ def main():
         "global_batch": bs,
         "devices": args.devices,
         "dtype": args.dtype,
+        "pallas_wgrad": args.pallas_wgrad,
+        "bn_stats_gradient": not args.no_bn_stats_grad,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
