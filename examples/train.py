@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--no-bn-stats-grad", action="store_true",
                     help="stop gradients through BN batch stats: ~+6-11%% "
                          "step throughput, NOT reference BN math")
+    ap.add_argument("--pallas-wgrad", action="store_true",
+                    help="Pallas 3x3 weight-gradient kernel in the "
+                         "backward (ops/wgrad_pallas.py)")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir")
     ap.add_argument("--out", default="final.npz",
                     help="final checkpoint path")
@@ -63,7 +66,8 @@ def main():
                                   if args.multi_scale else None),
                      grad_accum_steps=args.accum,
                      encode_on_device=args.encode_on_device,
-                     bn_stats_gradient=not args.no_bn_stats_grad)
+                     bn_stats_gradient=not args.no_bn_stats_grad,
+                     pallas_wgrad=args.pallas_wgrad)
 
     train_lines = read_annotation_lines(args.anno)
     val_lines = (read_annotation_lines(args.val_anno)
