@@ -25,9 +25,17 @@ def main():
                     help="Pallas 3x3 weight-gradient kernel in the backward")
     ap.add_argument("--no-bn-stats-grad", action="store_true",
                     help="stop gradients through BN batch statistics")
+    ap.add_argument("--via-trainer", action="store_true",
+                    help="drive Trainer.train_step instead of the raw "
+                         "compiled step — exercises the ragged-batch "
+                         "pad-and-mask decomposition (non-aligned --batch "
+                         "splits into aligned chunk programs)")
     args = ap.parse_args()
 
     import jax
+
+    from _cache import enable as _enable_cache
+    _enable_cache()
     import jax.numpy as jnp
 
     from yolov4tpu.config import YoloConfig
@@ -64,6 +72,32 @@ def main():
     batch = {"image": jnp.asarray(images),
              "labels": [jnp.asarray(l) for l in labels],
              "boxes": jnp.asarray(xywh)}
+    import time
+
+    if args.via_trainer:
+        from yolov4tpu.train import Trainer
+
+        tr = Trainer(cfg, args.classes, params, state, mesh=mesh)
+        m = tr.train_step(batch)           # compile (all chunk programs)
+        jax.device_get(m["loss"])
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            m = tr.train_step(batch)
+        jax.device_get(m["loss"])
+        sec = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": "train_step_throughput",
+            "img_per_s": round(bs / sec, 2),
+            "p50_ms": round(sec * 1e3, 2),
+            "global_batch": bs,
+            "devices": args.devices,
+            "dtype": args.dtype,
+            "via_trainer": True,
+            "device": str(jax.devices()[0]),
+        }))
+        return
+
     if mesh is not None:
         batch = shard_batch(batch, mesh)
         params = replicate(params, mesh)
@@ -81,8 +115,6 @@ def main():
     # donation reuses params/opt memory). Warmup compiles, then time with a
     # hard host fetch (block_until_ready can return early on tunneled
     # platforms).
-    import time
-
     params, state, opt_state, m = step(params, state, opt_state, batch)
     jax.device_get(m["loss"])
     iters = 10

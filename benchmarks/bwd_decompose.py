@@ -20,8 +20,11 @@ Prints one JSON line.  ~4 remote compiles at 416^2 — budget ~20-40 min cold.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -32,6 +35,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from _cache import enable as _enable_cache
+    _enable_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -92,6 +92,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    from _cache import enable as _enable_cache
+    _enable_cache()
     import cv2
     import jax.numpy as jnp
 

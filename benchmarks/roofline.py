@@ -28,6 +28,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from _cache import enable as _enable_cache
+    _enable_cache()
     import jax.numpy as jnp
     import numpy as np
     from jax import lax

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--img", type=int, default=64)
     args = ap.parse_args()
 
+    from _cache import enable as _enable_cache
+    _enable_cache()
     import cv2
     import jax.numpy as jnp
 
