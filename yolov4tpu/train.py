@@ -623,8 +623,15 @@ class Trainer:
         few % of b128's per-image throughput (vs ~30% regression for a
         native b136 program, benchmarks/PERF_NOTES.md)."""
         if self._chunk_grad is None:
+            # Donating the batch piece lets XLA reuse its ~0.7 GB (b128
+            # f32 images + encoded label grids) inside the grad program —
+            # the chunk path holds the other chunks' gradients alongside a
+            # full b128 working set, and measured b136 on a 416^2/80-class
+            # net OOMs without this (the piece is always a fresh slice or
+            # pad, never caller-owned, so donation is safe).
             self._chunk_grad = jax.jit(
-                _make_grad_and_metrics(self.num_classes, self.config))
+                _make_grad_and_metrics(self.num_classes, self.config),
+                donate_argnums=(2,))
 
             def combine_update(params, opt_state, gs, sts, ms, ws):
                 wsum = sum(ws)
