@@ -1,12 +1,33 @@
-"""Host input-pipeline throughput: native C++ path vs python/numpy path.
+"""Host input-pipeline throughput: native C++ ingest vs python/cv2 paths.
 
 Generates a synthetic on-disk dataset, then measures images/sec through
-DataGenerator batch assembly (decode + resize + label encode) both ways.
+DataGenerator batch assembly (file read + JPEG decode + resize + label
+encode) along every pipeline variant:
+
+  - python:        cv2 decode+resize, 1 worker (the true python baseline —
+                   what the reference's DataGenerator does, utils.py:187-207)
+  - python_pool:   same work fanned across os.cpu_count() GIL-releasing
+                   threads (cv2 releases the GIL inside decode/resize)
+  - native:        fused C++ ingest — read+libjpeg decode (DCT-scaled)+
+                   resize+normalise+box rescale+label encode under one
+                   OpenMP loop, ONE GIL release per batch
+  - native_exact:  same, full-resolution decode (bit-compatible with cv2)
+  - augmented:     mosaic+flip+HSV through the pooled python path with
+                   native JPEG decode (round 3: augmentation forfeited all
+                   parallelism AND the native path; now it keeps both)
+  - *_raw_boxes:   encode_on_device=True variants (host ships raw boxes,
+                   the accelerator encodes the grids in the train step)
+
 Importable as ``measure()`` so bench.py can record host-pipeline numbers
 alongside the device numbers (the host must be able to FEED the device's
-img/s or it is the real end-to-end ceiling).
+img/s or it is the real end-to-end ceiling).  Each timing is the best of
+``repeats`` full passes (denoised: round-3's single-pass numbers made the
+native raw-boxes path look 40% slower than python — scheduler noise on a
+busy 1-core host, not a regression).
 
-Usage: python benchmarks/bench_data.py [--n 64] [--batch 8]
+Usage: python benchmarks/bench_data.py [--n 64] [--batch 8] [--sweep]
+  --sweep adds a worker-count scaling table (1..cpu_count) for the pooled
+  python path — the "does it scale with cores" evidence.
 """
 
 import argparse
@@ -24,16 +45,28 @@ if __name__ == "__main__":  # direct-script use without installed package
                     os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(n: int = 64, batch: int = 8, img: int = 416,
-            cleanup: bool = True) -> dict:
-    """Build a synthetic dataset and time DataGenerator batch assembly.
-
-    Returns {"python_img_per_s", "python_raw_boxes_img_per_s",
-    "native_available", "native_threads"[, "native_img_per_s",
-    "native_raw_boxes_img_per_s", "speedup"]}.
-    """
+def _make_dataset(tmp: str, n: int, rng) -> tuple:
     import cv2
 
+    classes = os.path.join(tmp, "classes.txt")
+    with open(classes, "w") as f:
+        f.write("a\nb\nc\n")
+    lines = []
+    for i in range(n):
+        h, w = rng.integers(300, 700), rng.integers(300, 700)
+        cv2.imwrite(os.path.join(tmp, f"i{i}.jpg"),
+                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        boxes = " ".join(
+            f"{x},{y},{x+50},{y+60},{rng.integers(0, 3)}"
+            for x, y in rng.integers(10, 200, (5, 2)))
+        lines.append(f"i{i}.jpg {boxes}\n")
+    return classes, lines
+
+
+def measure(n: int = 64, batch: int = 8, img: int = 416,
+            cleanup: bool = True, repeats: int = 3,
+            sweep: bool = False) -> dict:
+    """Build a synthetic dataset and time DataGenerator batch assembly."""
     from yolov4tpu import native
     from yolov4tpu.config import YoloConfig
     from yolov4tpu.data.pipeline import DataGenerator
@@ -41,46 +74,60 @@ def measure(n: int = 64, batch: int = 8, img: int = 416,
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="benchdata_")
     try:
-        classes = os.path.join(tmp, "classes.txt")
-        with open(classes, "w") as f:
-            f.write("a\nb\nc\n")
-        lines = []
-        for i in range(n):
-            h, w = rng.integers(300, 700), rng.integers(300, 700)
-            cv2.imwrite(os.path.join(tmp, f"i{i}.jpg"),
-                        rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
-            boxes = " ".join(
-                f"{x},{y},{x+50},{y+60},{rng.integers(0, 3)}"
-                for x, y in rng.integers(10, 200, (5, 2)))
-            lines.append(f"i{i}.jpg {boxes}\n")
+        classes, lines = _make_dataset(tmp, n, rng)
 
-        def run(use_native, encode_on_device=False):
+        def run(use_native, encode_on_device=False, workers=1,
+                fast_decode=True, **aug):
             cfg = YoloConfig(img_size=(img, img, 3),
                              batch_size=batch,
-                             encode_on_device=encode_on_device)
+                             encode_on_device=encode_on_device,
+                             num_workers=workers,
+                             fast_decode=fast_decode,
+                             **aug)
             gen = DataGenerator(lines, classes, tmp, config=cfg,
                                 shuffle=False, use_native=use_native, seed=0)
-            # warm one batch (file cache), then time a full pass
-            gen.get_batch(0)
-            t0 = time.perf_counter()
-            n_img = 0
-            for i in range(len(gen)):
-                b = gen.get_batch(i)
-                n_img += len(b["image"])
-            return n_img / (time.perf_counter() - t0)
+            gen.get_batch(0)  # warm (file cache, pool spin-up)
+            best = 0.0
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                n_img = 0
+                for i in range(len(gen)):
+                    b = gen.get_batch(i)
+                    n_img += len(b["image"])
+                best = max(best, n_img / (time.perf_counter() - t0))
+            return best
 
-        py_ips = run(False)
-        out = {"python_img_per_s": round(py_ips, 1),
-               # encode_on_device=True: host ships raw boxes, the accelerator
-               # scatters the label grids inside the train step — this is the
-               # host-side relief that buys.
-               "python_raw_boxes_img_per_s": round(run(False, True), 1),
-               "native_available": native.available(),
-               "native_threads": native.num_threads()}
+        cpus = os.cpu_count() or 1
+        py_ips = run(False, workers=1)
+        out = {
+            "cpu_count": cpus,
+            "python_img_per_s": round(py_ips, 1),
+            "python_pool_img_per_s": round(run(False, workers=cpus), 1),
+            # encode_on_device=True: host ships raw boxes, the accelerator
+            # scatters the label grids inside the train step.
+            "python_raw_boxes_img_per_s": round(run(False, True, workers=1),
+                                                1),
+            "native_available": native.available(),
+            "native_jpeg": native.has_jpeg(),
+            "native_threads": native.num_threads(),
+        }
         if native.available():
-            out["native_img_per_s"] = round(run(True), 1)
+            nat = run(True)
+            out["native_img_per_s"] = round(nat, 1)
+            out["native_exact_img_per_s"] = round(run(True,
+                                                      fast_decode=False), 1)
             out["native_raw_boxes_img_per_s"] = round(run(True, True), 1)
-            out["speedup"] = round(out["native_img_per_s"] / py_ips, 2)
+            out["speedup"] = round(nat / py_ips, 2)
+            # The round-3 gap: augmentation used to forfeit the native path
+            # AND ran single-threaded.  Now: native JPEG decode inside
+            # pooled workers, aug included.
+            out["augmented_img_per_s"] = round(
+                run(True, workers=cpus, use_mosaic=True, use_hflip=True,
+                    use_color_jitter=True), 1)
+        if sweep and cpus > 1:
+            out["workers_sweep"] = {
+                w: round(run(False, workers=w), 1)
+                for w in sorted({1, 2, cpus // 2, cpus} - {0})}
         return out
     finally:
         if cleanup:
@@ -92,8 +139,11 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img", type=int, default=416)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
-    print(json.dumps(measure(args.n, args.batch, args.img)))
+    print(json.dumps(measure(args.n, args.batch, args.img,
+                             repeats=args.repeats, sweep=args.sweep)))
 
 
 if __name__ == "__main__":

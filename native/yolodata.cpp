@@ -12,17 +12,33 @@
 //   - encode_labels_batch: boxes -> 3 anchor-assigned label grids + xywh,
 //     byte-identical to the numpy/python reference semantics;
 //   - assemble_batch: fused resize + normalise + box-rescale for a whole
-//     batch in one call (one GIL release per batch from Python).
+//     batch in one call (one GIL release per batch from Python);
+//   - yolo_imread / yolo_ingest_batch: libjpeg JPEG decode — the step that
+//     DOMINATES host ingest cost (benchmarks/PERF_NOTES.md "JPEG decode
+//     dominates"; round-3 driver bench: host 128 img/s vs device 1560).
+//     yolo_ingest_batch fuses file read + decode + resize + normalise +
+//     box-rescale per image under one OpenMP loop, with DCT-domain 1/2,
+//     1/4, 1/8 downscaling when the decode target is much smaller than the
+//     source (large photos decode up to ~8x faster AND the IDCT low-pass
+//     replaces most of the resize work).
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
+#endif
+
+#if !defined(YOLO_NO_JPEG)
+#include <csetjmp>
+
+#include <jpeglib.h>
 #endif
 
 extern "C" {
@@ -187,6 +203,220 @@ int yolodata_num_threads() {
   return omp_get_max_threads();
 #else
   return 1;
+#endif
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg / libjpeg-turbo).
+//
+// Error contract: every failure path returns a negative status instead of
+// calling libjpeg's exit(); Python falls back to cv2 for that image.
+//   -1 file unreadable, -2 not a decodable JPEG (or libjpeg error),
+//   -3 unsupported color layout / undersized buffer, -100 built w/o libjpeg.
+// ---------------------------------------------------------------------------
+#if !defined(YOLO_NO_JPEG)
+
+namespace {
+
+struct JerrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jerr_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JerrMgr*>(cinfo->err)->jb, 1);
+}
+
+void jerr_silent(j_common_ptr) {}  // no stderr spam from corrupt files
+
+// Largest DCT scale denominator in {8,4,2} whose output still covers
+// (min_h, min_w); 1 when the source is already small (or no minimum given).
+int pick_denom(int h, int w, int min_h, int min_w) {
+  if (min_h <= 0 || min_w <= 0) return 1;
+  for (int d = 8; d >= 2; d /= 2) {
+    if ((h + d - 1) / d >= min_h && (w + d - 1) / d >= min_w) return d;
+  }
+  return 1;
+}
+
+// Decode an in-memory JPEG byte stream to tightly-packed RGB u8.
+// out == nullptr probes only (header parse, no pixel work).
+// oh/ow: decode (post-scaling) dims; fh/fw: full source dims (for box
+// rescale in original-pixel annotation coordinates).
+int decode_jpeg_mem(const uint8_t* data, size_t len, int min_h, int min_w,
+                    uint8_t* out, size_t cap, int* oh, int* ow, int* fh,
+                    int* fw) {
+  jpeg_decompress_struct cinfo;
+  JerrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jerr_exit;
+  jerr.pub.output_message = jerr_silent;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  *fh = static_cast<int>(cinfo.image_height);
+  *fw = static_cast<int>(cinfo.image_width);
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = pick_denom(*fh, *fw, min_h, min_w);
+  cinfo.out_color_space = JCS_RGB;  // converts YCbCr and grayscale sources
+  if (out == nullptr) {
+    jpeg_calc_output_dimensions(&cinfo);
+    *oh = static_cast<int>(cinfo.output_height);
+    *ow = static_cast<int>(cinfo.output_width);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_start_decompress(&cinfo);
+  *oh = static_cast<int>(cinfo.output_height);
+  *ow = static_cast<int>(cinfo.output_width);
+  if (cinfo.output_components != 3 ||
+      cap < static_cast<size_t>(*oh) * (*ow) * 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * (*ow) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Slurp a file into `buf`.  Returns 0 or -1.
+int read_file(const char* path, std::vector<uint8_t>* buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  if (sz <= 0) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  buf->resize(static_cast<size_t>(sz));
+  size_t got = std::fread(buf->data(), 1, buf->size(), f);
+  std::fclose(f);
+  return got == buf->size() ? 0 : -1;
+}
+
+// File-path convenience wrapper (one read, then in-memory decode).
+int decode_jpeg_file(const char* path, int min_h, int min_w, uint8_t* out,
+                     size_t cap, int* oh, int* ow, int* fh, int* fw) {
+  std::vector<uint8_t> buf;
+  if (read_file(path, &buf) != 0) return -1;
+  return decode_jpeg_mem(buf.data(), buf.size(), min_h, min_w, out, cap, oh,
+                         ow, fh, fw);
+}
+
+}  // namespace
+
+#endif  // !YOLO_NO_JPEG
+
+extern "C" {
+
+int yolodata_has_jpeg() {
+#if defined(YOLO_NO_JPEG)
+  return 0;
+#else
+  return 1;
+#endif
+}
+
+// Probe a JPEG: fills decode dims for the given minimum (DCT scaling) and
+// the full source dims.  Returns 0 on success, <0 otherwise.
+int yolo_imread_probe(const char* path, int min_h, int min_w, int* oh,
+                      int* ow, int* fh, int* fw) {
+#if defined(YOLO_NO_JPEG)
+  (void)path; (void)min_h; (void)min_w; (void)oh; (void)ow; (void)fh;
+  (void)fw;
+  return -100;
+#else
+  return decode_jpeg_file(path, min_h, min_w, nullptr, 0, oh, ow, fh, fw);
+#endif
+}
+
+// Decode a JPEG to RGB u8 into `out` (capacity `cap` bytes) at the same
+// scale yolo_imread_probe chose for (min_h, min_w).
+int yolo_imread(const char* path, int min_h, int min_w, uint8_t* out,
+                long cap, int* oh, int* ow, int* fh, int* fw) {
+#if defined(YOLO_NO_JPEG)
+  (void)path; (void)min_h; (void)min_w; (void)out; (void)cap; (void)oh;
+  (void)ow; (void)fh; (void)fw;
+  return -100;
+#else
+  return decode_jpeg_file(path, min_h, min_w, out,
+                          static_cast<size_t>(cap), oh, ow, fh, fw);
+#endif
+}
+
+// Fully-native batch ingest: per image (OpenMP-parallel) read the file,
+// JPEG-decode, bilinear-resize + /255 into imgs_out, and rescale its
+// (max_boxes, 5) box rows from ORIGINAL source pixels to target pixels
+// (stretch semantics, reference utils.py:195-204).
+// dct_scale != 0 allows libjpeg's DCT-domain 1/2, 1/4, 1/8 downscaling as
+// long as the decode still covers (dh, dw) — up to ~8x faster on large
+// photos, with the IDCT acting as the anti-alias low-pass; 0 decodes at
+// full resolution (bit-compatible with a cv2-decode + resize pipeline).
+// status[b] = 0 on success, <0 on failure (that image slot is left
+// untouched; the caller backfills via its cv2 fallback).  Returns the
+// number of failures.
+int yolo_ingest_batch(const char* const* paths, int batch, float* imgs_out,
+                      float* boxes_inout, int max_boxes, int dh, int dw,
+                      int dct_scale, int32_t* status) {
+#if defined(YOLO_NO_JPEG)
+  for (int b = 0; b < batch; ++b) status[b] = -100;
+  (void)paths; (void)imgs_out; (void)boxes_inout; (void)max_boxes;
+  (void)dh; (void)dw; (void)dct_scale;
+  return batch;
+#else
+  const int min_h = dct_scale ? dh : 0;
+  const int min_w = dct_scale ? dw : 0;
+  int failures = 0;
+#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
+  for (int b = 0; b < batch; ++b) {
+    int oh = 0, ow = 0, fh = 0, fw = 0;
+    // One file read; header-only probe sizes the scratch buffer, then the
+    // pixel decode runs from the same in-memory bytes.
+    std::vector<uint8_t> file;
+    int rc = read_file(paths[b], &file);
+    std::vector<uint8_t> scratch;
+    if (rc == 0) {
+      rc = decode_jpeg_mem(file.data(), file.size(), min_h, min_w, nullptr,
+                           0, &oh, &ow, &fh, &fw);
+    }
+    if (rc == 0) {
+      scratch.resize(static_cast<size_t>(oh) * ow * 3);
+      rc = decode_jpeg_mem(file.data(), file.size(), min_h, min_w,
+                           scratch.data(), scratch.size(), &oh, &ow, &fh,
+                           &fw);
+    }
+    status[b] = rc;
+    if (rc != 0) {
+      ++failures;
+      continue;
+    }
+    resize_one(scratch.data(), oh, ow,
+               imgs_out + static_cast<size_t>(b) * dh * dw * 3, dh, dw);
+    const float fx = static_cast<float>(dw) / static_cast<float>(fw);
+    const float fy = static_cast<float>(dh) / static_cast<float>(fh);
+    float* bx = boxes_inout + static_cast<size_t>(b) * max_boxes * 5;
+    for (int m = 0; m < max_boxes; ++m) {
+      bx[m * 5 + 0] *= fx;
+      bx[m * 5 + 2] *= fx;
+      bx[m * 5 + 1] *= fy;
+      bx[m * 5 + 3] *= fy;
+    }
+  }
+  return failures;
 #endif
 }
 

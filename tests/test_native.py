@@ -61,3 +61,75 @@ def test_assemble_batch_fused(rng):
     assert np.all(out_boxes[:, 1:, :] == 0)
     ref = native.resize_bilinear_batch(imgs, (48, 48))
     np.testing.assert_allclose(out_imgs, ref, atol=1e-7)
+
+
+def test_imread_bit_identical_to_cv2(tmp_path, rng):
+    """Native libjpeg decode (full resolution) is bit-identical to
+    cv2.imread (both are libjpeg-turbo)."""
+    cv2 = pytest.importorskip("cv2")
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    img = cv2.GaussianBlur(
+        rng.integers(0, 256, (120, 160, 3), np.uint8), (15, 15), 5)
+    p = str(tmp_path / "a.jpg")
+    cv2.imwrite(p, img)
+    ref = cv2.imread(p)[:, :, ::-1]
+    got = native.imread(p)
+    assert got is not None and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, ref)
+    # Non-JPEG -> None (caller falls back to cv2).
+    p2 = str(tmp_path / "b.png")
+    cv2.imwrite(p2, img)
+    assert native.imread(p2) is None
+    assert native.imread(str(tmp_path / "missing.jpg")) is None
+
+
+def test_imread_dct_scaling(tmp_path, rng):
+    """min_hw triggers libjpeg 1/2,1/4,1/8 DCT-domain decode: dims shrink by
+    the largest factor that still covers the minimum."""
+    cv2 = pytest.importorskip("cv2")
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    img = rng.integers(0, 256, (400, 640, 3), np.uint8)
+    p = str(tmp_path / "big.jpg")
+    cv2.imwrite(p, img)
+    full = native.imread(p)
+    assert full.shape == (400, 640, 3)
+    half = native.imread(p, min_hw=(100, 160))
+    assert half.shape == (100, 160, 3)  # denom 4: 400/4, 640/4
+    tiny = native.imread(p, min_hw=(20, 20))
+    assert tiny.shape == (50, 80, 3)  # denom 8 floor
+
+
+def test_ingest_batch_mixed_formats(tmp_path, rng):
+    """Fused ingest: JPEGs decode natively, PNGs fall back to cv2 per-image;
+    boxes rescale by FULL source dims in both cases; missing files raise."""
+    cv2 = pytest.importorskip("cv2")
+    a = rng.integers(0, 256, (60, 90, 3), np.uint8)
+    b = rng.integers(0, 256, (120, 40, 3), np.uint8)
+    pa = str(tmp_path / "a.jpg")
+    pb = str(tmp_path / "b.png")
+    cv2.imwrite(pa, a)
+    cv2.imwrite(pb, b)
+    boxes = np.zeros((2, 4, 5), np.float32)
+    boxes[0, 0] = [9, 6, 45, 30, 1]
+    boxes[1, 0] = [10, 20, 30, 100, 0]
+    imgs, ob = native.ingest_batch([pa, pb], boxes, (48, 48))
+    assert imgs.shape == (2, 48, 48, 3)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    np.testing.assert_allclose(
+        ob[0, 0, :4],
+        [9 * 48 / 90, 6 * 48 / 60, 45 * 48 / 90, 30 * 48 / 60], rtol=1e-5)
+    np.testing.assert_allclose(
+        ob[1, 0, :4],
+        [10 * 48 / 40, 20 * 48 / 120, 30 * 48 / 40, 100 * 48 / 120],
+        rtol=1e-5)
+    assert np.all(ob[:, 1:, :] == 0)  # padding rows stay zero
+    # exact mode matches the cv2 decode + native resize reference closely
+    jref = cv2.imread(pa)[:, :, ::-1]
+    imgs_x, _ = native.ingest_batch([pa], boxes[:1], (48, 48),
+                                    dct_scale=False)
+    ref = native.resize_bilinear_batch([jref], (48, 48))[0]
+    np.testing.assert_allclose(imgs_x[0], ref, atol=1e-6)
+    with pytest.raises(FileNotFoundError):
+        native.ingest_batch([str(tmp_path / "nope.jpg")], boxes[:1], (48, 48))

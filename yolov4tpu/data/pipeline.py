@@ -76,9 +76,33 @@ def letterbox_unmap(boxes_norm: np.ndarray, transform, model_hw, raw_hw):
     return out
 
 
+def read_image_rgb(img_path: str, native_decode: bool = True) -> np.ndarray:
+    """Image file -> RGB uint8 HWC.
+
+    Decodes JPEGs through the native libjpeg path when available (releases
+    the GIL for the whole decode — the dominant host cost — so threaded
+    workers scale with cores; bit-identical to cv2's decode, both are
+    libjpeg-turbo).  Everything else (PNG, no toolchain) falls back to
+    cv2.imread + BGR->RGB (reference utils.py:192-194).
+    """
+    if native_decode:
+        from .. import native
+
+        img = native.imread(img_path) if native.has_jpeg() else None
+        if img is not None:
+            return img
+    import cv2
+
+    img = cv2.imread(img_path)
+    if img is None:
+        raise FileNotFoundError(img_path)
+    return img[:, :, ::-1]
+
+
 def load_and_resize(img_path: str, target_hw, boxes: np.ndarray,
-                    letterbox: bool = False, color_jitter_rng=None):
-    """cv2 read (BGR->RGB) + resize + box rescale (reference utils.py:187-204).
+                    letterbox: bool = False, color_jitter_rng=None,
+                    native_decode: bool = True):
+    """Read (BGR->RGB) + resize + box rescale (reference utils.py:187-204).
 
     Default is the reference's stretch (non-letterbox) resize; with
     ``letterbox=True`` the aspect ratio is preserved with gray padding.
@@ -89,10 +113,7 @@ def load_and_resize(img_path: str, target_hw, boxes: np.ndarray,
     """
     import cv2
 
-    img = cv2.imread(img_path)
-    if img is None:
-        raise FileNotFoundError(img_path)
-    img = img[:, :, ::-1]
+    img = read_image_rgb(img_path, native_decode=native_decode)
     if color_jitter_rng is not None:
         img = (random_color_jitter(
             img.astype(np.float32) / 255.0, color_jitter_rng) * 255.0)
@@ -270,6 +291,19 @@ class DataGenerator:
             self.use_native = native.available()
         else:
             self.use_native = False
+        # Parallel per-sample workers (SURVEY hard part #4): cv2 and the
+        # native libjpeg decode release the GIL, so a thread pool scales the
+        # decode+augment work with host cores.  Determinism: each sample
+        # gets its own Generator seeded from ONE sequential draw of
+        # self.rng, so batch content is a function of the generator seed
+        # alone — not of worker count or thread scheduling.
+        workers = (config.num_workers if config.num_workers is not None
+                   else (os.cpu_count() or 1))
+        self._pool = None
+        if workers > 1:
+            import concurrent.futures
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="yolodata")
         self.on_epoch_end()
 
     def __len__(self) -> int:
@@ -280,66 +314,72 @@ class DataGenerator:
             self.rng.shuffle(self.indexes)
 
     # -- single-sample load ------------------------------------------------
-    def _load_line(self, line: str):
+    def _parse_line(self, line: str):
         parts = line.split()
         img_path = os.path.join(self.folder_path, parts[0])
         boxes = np.array([[float(v) for v in b.split(",")] for b in parts[1:]],
                          dtype=np.float32).reshape(-1, 5)
+        return img_path, boxes
+
+    def _load_line(self, line: str, rng=None):
+        img_path, boxes = self._parse_line(line)
+        rng = self.rng if rng is None else rng
         return load_and_resize(
             img_path, self.target_img_size[:2], boxes,
             letterbox=self.config.letterbox,
-            color_jitter_rng=(self.rng if self.config.use_color_jitter
-                              else None))
+            color_jitter_rng=(rng if self.config.use_color_jitter else None),
+            native_decode=self.use_native)
 
-    def get_data(self, annotation_line: str):
-        """(img float32 HWC /255, box_data (max_boxes,5)) for one line."""
-        img, boxes = self._load_line(annotation_line)
+    def get_data(self, annotation_line: str, rng=None):
+        """(img float32 HWC /255, box_data (max_boxes,5)) for one line.
+
+        rng: per-sample Generator (parallel workers each get their own,
+        seeded from one sequential draw of self.rng — see get_batch);
+        defaults to the generator's own stream for single-sample use.
+        """
+        rng = self.rng if rng is None else rng
+        img, boxes = self._load_line(annotation_line, rng)
         if self.mosaic:
-            extra = [self._load_line(self.annotation_lines[i]) for i in
-                     self.rng.integers(0, len(self.annotation_lines), 3)]
+            extra = [self._load_line(self.annotation_lines[i], rng) for i in
+                     rng.integers(0, len(self.annotation_lines), 3)]
             img, boxes = mosaic4([(img, boxes)] + extra,
-                                 self.target_img_size[:2], self.rng)
+                                 self.target_img_size[:2], rng)
         if self.cutmix:
             other = self._load_line(self.annotation_lines[
-                int(self.rng.integers(0, len(self.annotation_lines)))])
-            img, boxes = cutmix2((img, boxes), other, self.rng)
+                int(rng.integers(0, len(self.annotation_lines)))], rng)
+            img, boxes = cutmix2((img, boxes), other, rng)
         # Color jitter already ran per-sample on the RAW images inside
         # _load_line (before resize/padding/mosaic); only the geometric flip
         # applies to the composite here.
         if self.config.use_hflip:
-            img, boxes = random_hflip(img, boxes, self.rng)
+            img, boxes = random_hflip(img, boxes, rng)
         box_data = np.zeros((self.max_boxes, 5), np.float32)
         if len(boxes):
-            perm = self.rng.permutation(len(boxes))
+            perm = rng.permutation(len(boxes))
             boxes = boxes[perm][:self.max_boxes]
             box_data[:len(boxes)] = boxes
         return img, box_data
 
     # -- batching ----------------------------------------------------------
-    def _get_batch_native(self, lines: Sequence[str]) -> dict:
-        """Fused native path: raw decode -> C++ resize/rescale/encode
-        (one GIL release per batch; OpenMP across images on the host)."""
-        import cv2
-
+    def _get_batch_native(self, lines: Sequence[str],
+                          seeds: np.ndarray) -> dict:
+        """Fully-native fused path: file read + JPEG decode (+ DCT-domain
+        downscale) + resize + /255 + box rescale + label encode all in C++
+        — ONE GIL release for the whole batch, OpenMP across images."""
         from .. import native
 
         n = len(lines)
-        raws, y_bbox = [], np.zeros((n, self.max_boxes, 5), np.float32)
+        paths, y_bbox = [], np.zeros((n, self.max_boxes, 5), np.float32)
         for i, line in enumerate(lines):
-            parts = line.split()
-            img = cv2.imread(os.path.join(self.folder_path, parts[0]))
-            if img is None:
-                raise FileNotFoundError(parts[0])
-            raws.append(np.ascontiguousarray(img[:, :, ::-1]))
-            boxes = np.array([[float(v) for v in b.split(",")]
-                              for b in parts[1:]],
-                             np.float32).reshape(-1, 5)
+            img_path, boxes = self._parse_line(line)
+            paths.append(img_path)
             if len(boxes):
-                perm = self.rng.permutation(len(boxes))
+                perm = np.random.default_rng(seeds[i]).permutation(len(boxes))
                 boxes = boxes[perm][:self.max_boxes]
                 y_bbox[i, :len(boxes)] = boxes
-        X, y_bbox = native.assemble_batch(raws, y_bbox,
-                                          self.target_img_size[:2])
+        X, y_bbox = native.ingest_batch(paths, y_bbox,
+                                        self.target_img_size[:2],
+                                        dct_scale=self.config.fast_decode)
         if self.config.encode_on_device:
             return {"image": X, "raw_boxes": y_bbox}
         y_tensor, y_true_boxes_xywh = native.encode_labels_batch(
@@ -360,15 +400,32 @@ class DataGenerator:
             self._ms_counter += 1
         idxs = self.indexes[index * self.batch_size:(index + 1) * self.batch_size]
         lines = [self.annotation_lines[i] for i in idxs]
+        n = len(lines)
+        # ONE sequential draw of per-sample seeds keeps results independent
+        # of worker count/scheduling AND identical between the fused-native
+        # and python paths (both derive each sample's stream the same way).
+        seeds = self.rng.integers(0, 2 ** 63, size=n, dtype=np.uint64)
         if (self.use_native and not self.mosaic and not self.cutmix
                 and not self.config.letterbox and not self.config.use_hflip
                 and not self.config.use_color_jitter):
-            return self._get_batch_native(lines)
-        n = len(lines)
+            return self._get_batch_native(lines, seeds)
         X = np.empty((n, *self.target_img_size), np.float32)
         y_bbox = np.empty((n, self.max_boxes, 5), np.float32)
-        for i, line in enumerate(lines):
-            X[i], y_bbox[i] = self.get_data(line)
+        if self._pool is not None and n > 1:
+            # Augmented / letterbox batches parallelize per-sample: decode
+            # (native libjpeg when available), resize, jitter, mosaic and
+            # flip all run inside the workers — augmentation no longer
+            # forfeits host parallelism (round-3 gap).
+            results = self._pool.map(
+                lambda args: self.get_data(args[0],
+                                           np.random.default_rng(args[1])),
+                zip(lines, seeds))
+            for i, (img, bd) in enumerate(results):
+                X[i], y_bbox[i] = img, bd
+        else:
+            for i, line in enumerate(lines):
+                X[i], y_bbox[i] = self.get_data(
+                    line, np.random.default_rng(seeds[i]))
         if self.config.encode_on_device:
             # Ship raw boxes; the jitted train step encodes the grids
             # on-accelerator (train step + data.encode.encode_labels_jax).
@@ -398,11 +455,17 @@ class DataGenerator:
 
 
 def prefetch(generator: DataGenerator, n_prefetch: int = 2,
-             epochs: Optional[int] = None) -> Iterator[dict]:
+             epochs: Optional[int] = None,
+             transform=None) -> Iterator[dict]:
     """Background-thread prefetching over epochs of a DataGenerator.
 
     Overlaps cv2 decode/resize + label encoding with the device step; the
     consumer always finds the next batch ready (up to n_prefetch deep).
+
+    transform: optional fn applied to each batch IN the producer thread —
+    pass a ``jax.device_put`` / mesh-placement closure to double-buffer the
+    host->device transfer behind the running step (the async H2D copy of
+    batch N+1 rides under batch N's compute).
     """
     q: "queue.Queue" = queue.Queue(maxsize=n_prefetch)
     stop = threading.Event()
@@ -414,7 +477,8 @@ def prefetch(generator: DataGenerator, n_prefetch: int = 2,
                 for i in range(len(generator)):
                     if stop.is_set():
                         return
-                    q.put(generator.get_batch(i))
+                    b = generator.get_batch(i)
+                    q.put(b if transform is None else transform(b))
                 generator.on_epoch_end()
                 epoch += 1
         finally:

@@ -27,23 +27,29 @@ _SO = os.path.join(_REPO_ROOT, "native", "build", "libyolodata.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_jpeg_api = False  # set by _load(): native libjpeg decode available
 
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-           "-o", _SO, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError):
-        # Retry without OpenMP (toolchains missing libgomp).
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", _SO, _SRC]
+    # Preference order: OpenMP + libjpeg (full pipeline), then degrade —
+    # missing libgomp drops -fopenmp, missing libjpeg swaps in the
+    # YOLO_NO_JPEG stub (decode falls back to cv2 in Python).
+    variants = [
+        base + ["-fopenmp", "-ljpeg"],
+        base + ["-ljpeg"],
+        base + ["-fopenmp", "-DYOLO_NO_JPEG"],
+        base + ["-DYOLO_NO_JPEG"],
+    ]
+    for cmd in variants:
         try:
-            subprocess.run([c for c in cmd if c != "-fopenmp"], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             return True
         except (subprocess.SubprocessError, FileNotFoundError):
-            return False
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -74,6 +80,26 @@ def _load() -> Optional[ctypes.CDLL]:
             u8pp, i32p, f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
         lib.yolodata_num_threads.restype = ctypes.c_int
+        global _jpeg_api
+        try:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.yolodata_has_jpeg.restype = ctypes.c_int
+            lib.yolo_imread_probe.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                i32p, i32p, i32p, i32p]
+            lib.yolo_imread.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, u8p,
+                ctypes.c_long, i32p, i32p, i32p, i32p]
+            lib.yolo_ingest_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, f32p, f32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p]
+            lib.yolo_ingest_batch.restype = ctypes.c_int
+            _jpeg_api = bool(lib.yolodata_has_jpeg())
+        except AttributeError:
+            # A stale pre-JPEG build of the .so: mtime gating normally
+            # rebuilds, but be robust anyway.
+            _jpeg_api = False
         _lib = lib
         return _lib
 
@@ -83,9 +109,92 @@ def available() -> bool:
     return _load() is not None
 
 
+def has_jpeg() -> bool:
+    """True if the native library was built with libjpeg decode."""
+    return _load() is not None and _jpeg_api
+
+
 def num_threads() -> int:
     lib = _load()
     return lib.yolodata_num_threads() if lib is not None else 1
+
+
+def imread(path: str, min_hw: Optional[Tuple[int, int]] = None
+           ) -> Optional[np.ndarray]:
+    """Native JPEG read -> RGB uint8 HWC array, or None (caller falls back
+    to cv2 for non-JPEG formats / corrupt files / no-libjpeg builds).
+
+    min_hw: when given, the decode may use libjpeg's DCT-domain 1/2, 1/4,
+    1/8 scaling as long as the result still covers (min_h, min_w) — large
+    photos destined for a small model input decode up to ~8x faster.  The
+    default decodes at full resolution (annotation box coordinates stay in
+    source pixels).
+    """
+    lib = _load()
+    if lib is None or not _jpeg_api:
+        return None
+    mh, mw = (int(min_hw[0]), int(min_hw[1])) if min_hw else (0, 0)
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    fh = ctypes.c_int()
+    fw = ctypes.c_int()
+    p = path.encode()
+    if lib.yolo_imread_probe(p, mh, mw, ctypes.byref(oh), ctypes.byref(ow),
+                             ctypes.byref(fh), ctypes.byref(fw)) != 0:
+        return None
+    out = np.empty((oh.value, ow.value, 3), np.uint8)
+    rc = lib.yolo_imread(
+        p, mh, mw, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.nbytes, ctypes.byref(oh), ctypes.byref(ow), ctypes.byref(fh),
+        ctypes.byref(fw))
+    return out if rc == 0 else None
+
+
+def ingest_batch(paths: Sequence[str], boxes: np.ndarray,
+                 target_hw: Tuple[int, int], dct_scale: bool = True
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Fully-native batch ingest: file read + JPEG decode + bilinear resize
+    + /255 + box rescale, OpenMP-parallel across images — ONE GIL release
+    for the whole batch.
+
+    paths: image files; boxes: (B, max_boxes, 5) in source-image pixels
+    (rescaled to target in the returned copy).  dct_scale: allow libjpeg's
+    DCT-domain downscaling when the decode target is much smaller than the
+    source (up to ~8x faster; pixel values then differ slightly from a
+    full-decode + resize — set False for bit-compatibility with the cv2
+    path).  Non-JPEG / unreadable images fall back to cv2 per-image.
+    Raises FileNotFoundError when an image is unreadable by both paths
+    (same contract as load_and_resize).
+    """
+    dh, dw = int(target_hw[0]), int(target_hw[1])
+    n = len(paths)
+    out_boxes = np.ascontiguousarray(boxes, np.float32).copy()
+    imgs = np.empty((n, dh, dw, 3), np.float32)
+    lib = _load()
+    status = np.full((n,), -100, np.int32)
+    if lib is not None and _jpeg_api:
+        cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        lib.yolo_ingest_batch(
+            cpaths, n, _f32p(imgs), _f32p(out_boxes), int(boxes.shape[1]),
+            dh, dw, int(dct_scale),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    failed = np.nonzero(status != 0)[0]
+    if len(failed):
+        import cv2
+        for i in failed:
+            img = cv2.imread(paths[i])
+            if img is None:
+                raise FileNotFoundError(paths[i])
+            sh, sw = img.shape[:2]
+            rgb = np.ascontiguousarray(img[:, :, ::-1])
+            if lib is not None:
+                imgs[i] = resize_bilinear_batch([rgb], (dh, dw))[0]
+            else:
+                imgs[i] = (cv2.resize(rgb, (dw, dh)).astype(np.float32)
+                           / 255.0)
+            out_boxes[i, :, [0, 2]] = boxes[i, :, [0, 2]] * (dw / sw)
+            out_boxes[i, :, [1, 3]] = boxes[i, :, [1, 3]] * (dh / sh)
+    return imgs, out_boxes
 
 
 def _f32p(a: np.ndarray):
