@@ -164,10 +164,24 @@ def test_generator_encode_on_device_batches(dataset):
         assert g.shape == l.shape
 
 
-def test_config_rejects_encode_on_device_with_multiscale():
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="encode_on_device"):
-        YoloConfig(encode_on_device=True, multi_scale=(320, 416))
+def test_encode_on_device_composes_with_multiscale(dataset):
+    """encode_on_device + multi_scale: the generator ships raw boxes at the
+    drawn size each interval; grid encoding happens per-trace in the step
+    (train._maybe_encode_on_device keys grid shapes off the traced image
+    shape).  Round 3 forbade this combination; the restriction was lifted."""
+    cfg = YoloConfig(img_size=(64, 64, 3), batch_size=2,
+                     encode_on_device=True, multi_scale=(32, 96),
+                     multi_scale_interval=1)
+    gen = DataGenerator(dataset["lines"], dataset["classes"],
+                        dataset["img_dir"], config=cfg, seed=3)
+    sizes = set()
+    for i in range(len(gen)):
+        b = gen.get_batch(i)
+        s = b["image"].shape[1]
+        assert "raw_boxes" in b and "labels" not in b
+        assert b["raw_boxes"].shape[-1] == 5
+        assert b["raw_boxes"][..., :4].max() <= s
+        sizes.add(s)
 
 
 def test_generator_hflip_jitter_batches(dataset):
@@ -310,9 +324,14 @@ def test_native_path_matches_python_path(tmp_path, rng):
         lines.append(f"p{i}.jpg 10,10,50,60,0 20,30,110,95,1\n")
     classes = tmp_path / "c.txt"
     classes.write_text("a\nb\n")
-    g_nat = DataGenerator(lines, str(classes), str(img_dir), config=CFG,
+    # fast_decode=False: full-resolution decode, so the native path is
+    # bit-compatible with cv2's decode (both are libjpeg-turbo) and only
+    # the bilinear resize rounding differs.  The DCT-scaled production
+    # default is covered by test_native_ingest_fast_decode below.
+    cfg = CFG.replace(fast_decode=False)
+    g_nat = DataGenerator(lines, str(classes), str(img_dir), config=cfg,
                           shuffle=False, seed=7, use_native=True)
-    g_py = DataGenerator(lines, str(classes), str(img_dir), config=CFG,
+    g_py = DataGenerator(lines, str(classes), str(img_dir), config=cfg,
                          shuffle=False, seed=7, use_native=False)
     assert g_nat.use_native and not g_py.use_native
     bn, bp = g_nat.get_batch(0), g_py.get_batch(0)
@@ -324,3 +343,58 @@ def test_native_path_matches_python_path(tmp_path, rng):
         # conf/class planes must agree exactly (same cells chosen)
         np.testing.assert_array_equal(ln[..., 4:], lp[..., 4:])
         np.testing.assert_allclose(ln[..., :4], lp[..., :4], atol=1e-3)
+
+
+def test_native_ingest_fast_decode(tmp_path, rng):
+    """Production fast path: DCT-scaled decode changes PIXELS slightly (the
+    IDCT low-pass replaces part of the resize) but must leave the geometry
+    contract untouched — boxes scale by the FULL source dims and the label
+    grids match the python path's exactly."""
+    import cv2
+
+    from yolov4tpu import native
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(4):
+        img = rng.uniform(0, 255, (256, 320, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"p{i}.jpg"), img)
+        lines.append(f"p{i}.jpg 16,16,64,64,0 40,48,280,224,1\n")
+    classes = tmp_path / "c.txt"
+    classes.write_text("a\nb\n")
+    cfg = CFG.replace(fast_decode=True)
+    g_nat = DataGenerator(lines, str(classes), str(img_dir), config=cfg,
+                          shuffle=False, seed=7, use_native=True)
+    g_py = DataGenerator(lines, str(classes), str(img_dir), config=cfg,
+                         shuffle=False, seed=7, use_native=False)
+    bn, bp = g_nat.get_batch(0), g_py.get_batch(0)
+    assert bn["image"].shape == bp["image"].shape
+    assert np.isfinite(bn["image"]).all()
+    assert bn["image"].min() >= 0.0 and bn["image"].max() <= 1.0
+    # Geometry: box rescale keys off FULL source dims, not decode dims.
+    np.testing.assert_allclose(bn["boxes"], bp["boxes"], atol=1e-3)
+    for ln, lp in zip(bn["labels"], bp["labels"]):
+        np.testing.assert_array_equal(ln[..., 4:], lp[..., 4:])
+        np.testing.assert_allclose(ln[..., :4], lp[..., :4], atol=1e-3)
+
+
+def test_worker_pool_determinism(dataset):
+    """Batch content is a function of the generator seed alone — NOT of the
+    worker count or thread scheduling (per-sample seeds are drawn once,
+    sequentially).  Augmentations run inside the workers."""
+    cfg = YoloConfig(img_size=(64, 64, 3), batch_size=4, use_hflip=True,
+                     use_color_jitter=True, use_mosaic=True)
+    kw = dict(class_name_path=dataset["classes"],
+              folder_path=dataset["img_dir"], shuffle=False)
+    g1 = DataGenerator(dataset["lines"], config=cfg.replace(num_workers=1),
+                       seed=11, **kw)
+    g4 = DataGenerator(dataset["lines"], config=cfg.replace(num_workers=4),
+                       seed=11, **kw)
+    assert g1._pool is None and g4._pool is not None
+    b1, b4 = g1.get_batch(0), g4.get_batch(0)
+    np.testing.assert_array_equal(b1["image"], b4["image"])
+    np.testing.assert_array_equal(b1["boxes"], b4["boxes"])
+    for l1, l4 in zip(b1["labels"], b4["labels"]):
+        np.testing.assert_array_equal(l1, l4)

@@ -444,12 +444,12 @@ def test_grad_accum_chunk_validates():
         chunk_batch({"image": jnp.zeros((3, 2))}, 2)
 
 
-def test_grad_accum_ragged_batch_pads_single_device_drops_on_mesh():
-    """Ragged (epoch-final) batches at grad_accum: the single-device path
-    PADS to a whole number of micro-batches with a validity mask (nothing
-    dropped — even a 1-sample tail trains), while the mesh path keeps
-    trim/drop semantics (unequal per-shard valid counts would mis-weight
-    the gradient all-reduce) and returns None for sub-round tails."""
+def test_grad_accum_ragged_batch_pads_everywhere():
+    """Ragged (epoch-final) batches at grad_accum: BOTH the single-device
+    and the mesh path pad to a whole number of (per-device) micro-batches
+    with a validity mask — nothing is dropped, even a 1-sample tail trains
+    (round 3 dropped mesh tails; the masked mesh step now weights the
+    gradient all-reduce by per-shard valid counts)."""
     import dataclasses
 
     from yolov4tpu.train import Trainer
@@ -468,37 +468,109 @@ def test_grad_accum_ragged_batch_pads_single_device_drops_on_mesh():
 
     mesh = make_mesh(2)
     tr_mesh = Trainer(cfg, C, params, state, mesh=mesh)
-    step_before = tr_mesh.global_step
-    assert tr_mesh.train_step(tiny) is None  # mesh path: skipped, not crashed
-    assert tr_mesh.global_step == step_before
+    m = tr_mesh.train_step(tiny)  # pads 1 -> 4 (accum x devices); trains
+    assert m is not None and np.isfinite(float(m["loss"]))
+    assert tr_mesh.global_step == 1
+    # The padded shards must not have corrupted the update: another step on
+    # a full batch still yields finite loss.
+    m = tr_mesh.train_step(_synthetic_batch(np.random.default_rng(5), bs=4))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_mesh_masked_step_weights_by_valid_count(rng):
+    """Mesh pad-and-mask correctness against hand-computed semantics: a
+    3-sample ragged batch on a 2-device mesh pads to 4 (shard0: 2 valid,
+    shard1: 1 valid + 1 pad).  The masked mesh step's update must equal
+    per-shard gradients (local masked BN) combined weighted by valid counts
+    (2, 1) — the mean over every VALID sample — not the shard-uniform mean.
+    BN moving statistics and metrics weight the same way."""
+    from yolov4tpu.train import (Trainer, _make_grad_and_metrics,
+                                 pad_mask_batch)
+    import optax
+
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    batch = _synthetic_batch(rng, bs=3)
+    # Make the samples genuinely heterogeneous so a mis-weighted combine
+    # cannot pass by symmetry.
+    batch["image"] = batch["image"].at[2].multiply(0.3)
+
+    # Hand-computed expectation: per-shard masked core + weighted combine.
+    core = jax.jit(_make_grad_and_metrics(C, CFG))
+    padded = pad_mask_batch(batch, 4)
+    shard0 = jax.tree.map(lambda x: x[:2], padded)
+    shard1 = jax.tree.map(lambda x: x[2:], padded)
+    g0, st0, m0 = core(params, state, shard0)
+    g1, st1, m1 = core(params, state, shard1)
+    wavg = lambda a, b: (2.0 * a + 1.0 * b) / 3.0  # noqa: E731
+    g = jax.tree.map(wavg, g0, g1)
+    st_expect = jax.tree.map(wavg, st0, st1)
+    loss_expect = wavg(m0["loss"], m1["loss"])
+    # SGD, not Adam: Adam's g/(sqrt(g^2)+eps) is sign-like near zero, so
+    # f32 reduction-order noise in tiny gradients would explode the param
+    # comparison; SGD keeps the update LINEAR in the gradients, which is
+    # exactly the quantity this test pins.
+    opt = optax.sgd(0.1)
+    updates, _ = opt.update(g, opt.init(params), params)
+    p_expect = optax.apply_updates(params, updates)
+
+    tr = Trainer(CFG, C, params, state, mesh=make_mesh(2), optimizer=opt)
+    metrics = tr.train_step(batch)
+
+    assert float(metrics["loss"]) == pytest.approx(float(loss_expect),
+                                                   rel=1e-5)
+    # Leaf-SCALE-relative comparison: random-init gradients reach ~1e6
+    # through the 110-conv f32 backward, and individual elements where
+    # 2*g0+g1 nearly cancels keep arbitrarily large PER-ELEMENT relative
+    # reassociation noise between the shard_map collective and the
+    # two-call manual path (a per-element rtol flakes on a different
+    # element each run).  Normalizing by each leaf's magnitude bounds the
+    # noise (measured ~1e-5 of leaf scale) while mis-WEIGHTING shifts
+    # elements of full leaf magnitude by |g1-g0|/6 ~ 16% — the negative
+    # control below proves the criterion rejects it.
+    def leaf_close(got, want, tol):
+        got, want = np.asarray(got), np.asarray(want)
+        scale = max(float(np.abs(want).max()), 1e-3)
+        return float(np.abs(got - want).max()) <= tol * scale
+
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(p_expect)):
+        assert leaf_close(a, b, 1e-3)
+    for a, b in zip(jax.tree.leaves(tr.state), jax.tree.leaves(st_expect)):
+        assert leaf_close(a, b, 1e-3)
+
+    # Negative control: the UNIFORM shard mean (what a mis-weighted
+    # all-reduce would produce) must NOT pass the same criterion.
+    g_uni = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    updates_u, _ = opt.update(g_uni, opt.init(params), params)
+    p_uniform = optax.apply_updates(params, updates_u)
+    mismatch = any(
+        not leaf_close(a, b, 1e-3)
+        for a, b in zip(jax.tree.leaves(tr.params),
+                        jax.tree.leaves(p_uniform)))
+    assert mismatch, "test lost its discrimination power"
 
 
 def test_fit_zero_step_epoch_raises():
-    """An epoch in which EVERY batch is skipped as a sub-accum ragged tail
-    must raise, not record loss 0.0 and checkpoint an untrained model.
-    Only the MESH path still skips (the single-device path pads-and-masks
-    instead), so the guard is exercised through a 2-device mesh."""
-    import dataclasses
-
+    """An epoch that runs ZERO optimizer steps must raise, not record loss
+    0.0 and checkpoint an untrained model.  Since round 4 every ragged tail
+    trains via pad-and-mask on every path (mesh included), the only way to
+    run zero steps is an EMPTY generator."""
     from yolov4tpu.train import Trainer
 
-    cfg = dataclasses.replace(CFG, grad_accum_steps=2)
     params, state, _ = network.init(C, img_size=64, seed=0)
-    tr = Trainer(cfg, C, params, state, mesh=make_mesh(2))
-    tiny = _synthetic_batch(np.random.default_rng(5), bs=1)  # < accum x dev
+    tr = Trainer(CFG, C, params, state)
 
-    class TinyGen:
+    class EmptyGen:
         def __len__(self):
-            return 1
+            return 0
 
-        def get_batch(self, i):
-            return tiny
+        def get_batch(self, i):  # pragma: no cover — never called
+            raise AssertionError("empty generator must not be asked")
 
         def on_epoch_end(self):
             pass
 
     with pytest.raises(ValueError, match="zero optimizer steps"):
-        tr.fit(TinyGen(), epochs=1, verbose=False)
+        tr.fit(EmptyGen(), epochs=1, verbose=False)
     assert tr.history == []  # nothing recorded for the failed epoch
 
 
@@ -644,6 +716,43 @@ def test_encode_on_device_step_matches_host(rng):
     for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_encode_on_device_multiscale_matches_host_per_size(rng):
+    """Multi-scale + encode_on_device (the combination round 3 forbade):
+    the SAME jitted step object, fed raw-boxes batches at two different
+    square sizes, retraces per size and matches the host-encoded step's
+    loss and parameter update at each size."""
+    import dataclasses
+
+    cfg_dev = dataclasses.replace(CFG, encode_on_device=True,
+                                  multi_scale=(64, 96))
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    opt = make_optimizer(CFG)
+    step_dev = make_train_step(C, cfg_dev, opt, donate=False)
+    step_host = make_train_step(C, CFG, opt, donate=False)
+
+    for size in (64, 96):
+        imgs = rng.uniform(0, 1, (2, size, size, 3)).astype(np.float32)
+        boxes = np.zeros((2, 100, 5), np.float32)
+        boxes[:, 0] = [8, 8, size - 24, size - 24, 0]
+        boxes[:, 1] = [size // 2, 20, size - 4, size - 4, 1]
+        labels, xywh = preprocess_true_boxes(boxes, (size, size),
+                                             CFG.anchors_flat, C)
+        host_batch = {"image": jnp.asarray(imgs),
+                      "labels": [jnp.asarray(l) for l in labels],
+                      "boxes": jnp.asarray(xywh)}
+        raw_batch = {"image": jnp.asarray(imgs),
+                     "raw_boxes": jnp.asarray(boxes)}
+        p_host, _, _, m_host = step_host(params, state, opt.init(params),
+                                         host_batch)
+        p_dev, _, _, m_dev = step_dev(params, state, opt.init(params),
+                                      raw_batch)
+        assert float(m_host["loss"]) == pytest.approx(float(m_dev["loss"]),
+                                                      rel=1e-6)
+        for a, b in zip(jax.tree.leaves(p_host), jax.tree.leaves(p_dev)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
 
 
 def test_cosine_callback_drives_optimizer():

@@ -72,8 +72,9 @@ class YoloConfig:
     # accelerator (data.encode.encode_labels_jax) — the host pipeline stops
     # paying for the grid scatter (the reference's slowest host code,
     # reference utils.py:210-303) and the host->device transfer shrinks
-    # ~45x (3 label grids -> one 100x5 box table per image).  Incompatible
-    # with multi_scale (the encoder's grid shapes are jit-static).
+    # ~45x (3 label grids -> one 100x5 box table per image).  Composes with
+    # multi_scale: the step retraces per drawn size and the encoder's grid
+    # shapes key off each trace's static image shape.
     encode_on_device: bool = False
 
     # Flat-vector Adam (train.fused_adam): one raveled moment buffer instead
@@ -103,6 +104,20 @@ class YoloConfig:
     # reference's stretch resize (reference utils.py:195).  Off by default
     # for parity; affects training pipeline, inference and eval export alike.
     letterbox: bool = False
+
+    # --- Host ingest (SURVEY §7 hard part #4: the host must FEED the chip) ---
+    # Parallel per-image host workers for decode+augment (cv2/libjpeg release
+    # the GIL, so threads scale with cores).  None = os.cpu_count().  The
+    # random stream is per-sample-seeded, so results are deterministic for a
+    # given generator seed regardless of worker count or scheduling.
+    num_workers: Optional[int] = None
+    # Allow libjpeg DCT-domain 1/2,1/4,1/8 downscaling in the fused native
+    # ingest when the source is much larger than the model input — large
+    # photos decode up to ~8x faster (measured 14.5x end-to-end on a 4000px
+    # photo -> 416^2).  Pixel values then differ slightly from full-decode +
+    # resize (the IDCT acts as the anti-alias low-pass); set False for
+    # bit-compatibility with the cv2 decode path.
+    fast_decode: bool = True
 
     # Space-to-depth stem for BN-folded inference: runs the two stem convs
     # (3->32, 32->64 downsample) as dense block-space convs — exact
@@ -137,10 +152,6 @@ class YoloConfig:
             raise ValueError("img_size must be a multiple of the last stride")
         if len(self.anchors) != 18:
             raise ValueError("expected 9 anchor (w, h) pairs")
-        if self.encode_on_device and self.multi_scale is not None:
-            raise ValueError(
-                "encode_on_device requires fixed grid shapes — disable "
-                "multi_scale or encode labels on the host")
 
     # --- Derived quantities ---
     @property

@@ -119,12 +119,19 @@ def _maybe_encode_on_device(batch: dict, config: YoloConfig,
     "anchor ground-truth target encoding run as jit-vectorized pipelines".
     Batches that already carry 'labels' pass through untouched, so host- and
     device-encoded pipelines share every step variant.
+
+    Grid shapes key off the TRACED image shape, not the static config: under
+    multi-scale training the step retraces per drawn size anyway (each size
+    is a distinct jit signature), so the encoder sees the right static
+    (h, w) per trace — device encoding and multi-scale compose.
     """
     if "labels" in batch:
         return batch
     from .data.encode import encode_labels_jax
+    # (..., H, W, 3): robust to the grad-accum micro-batch stacking.
+    img_hw = batch["image"].shape[-3:-1]
     labels, xywh = encode_labels_jax(
-        batch["raw_boxes"], config.img_size[:2], config.anchors_flat,
+        batch["raw_boxes"], img_hw, config.anchors_flat,
         num_classes, config.strides)
     out = {"image": batch["image"], "labels": labels, "boxes": xywh}
     if "mask" in batch:  # padded ragged batch: keep the validity mask
@@ -132,18 +139,33 @@ def _maybe_encode_on_device(batch: dict, config: YoloConfig,
     return out
 
 
-def _batch_pspec(config: YoloConfig, spec):
+def _batch_pspec(config: YoloConfig, spec, masked: bool = False):
     """shard_map PartitionSpec tree matching the batch the DataGenerator
-    produces (labels batches, or raw-boxes batches with encode_on_device)."""
+    produces (labels batches, or raw-boxes batches with encode_on_device);
+    ``masked`` adds the (B,) validity-mask leaf of pad-and-mask batches."""
     if config.encode_on_device:
-        return {"image": spec, "raw_boxes": spec}
-    return {"image": spec, "labels": [spec] * 3, "boxes": spec}
+        out = {"image": spec, "raw_boxes": spec}
+    else:
+        out = {"image": spec, "labels": [spec] * 3, "boxes": spec}
+    if masked:
+        out["mask"] = spec
+    return out
 
 
-def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
+def _make_grad_and_metrics(num_classes: int, config: YoloConfig,
+                           mesh_axes=()):
     """(params, state, batch) -> (grads, new_state, metrics) — the shared
-    core of every train-step variant.  Local computation only, no
-    collectives; BN batch statistics are over the batch it is given."""
+    core of every train-step variant.  Local computation only, no explicit
+    collectives; BN batch statistics are over the batch it is given.
+
+    mesh_axes: shard_map axis names when the core runs per-replica.  With a
+    validity mask present, the differentiated loss is pre-scaled by
+    ``w_local * n_dev / psum(w_local)`` so the IMPLICIT gradient psum
+    (shard_map AD sums the cotangents of the replicated params) yields
+    ``n_dev x`` the valid-count-weighted mean across shards — the caller's
+    uniform ``grads / n_dev`` then gives exactly the mean over every valid
+    sample of the global batch, however unevenly the padding falls.  With
+    equal per-shard counts the scale is identically 1 (no numeric change)."""
     anchors = config.anchors_grouped
     compute_dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                      else jnp.float32)
@@ -155,6 +177,12 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
         # padded to an XLA-friendly size updates exactly like its trimmed
         # self (pad-and-mask; see Trainer.train_step).
         mask = batch.get("mask")
+        loss_scale = None
+        if mesh_axes and mask is not None:
+            w_local = jnp.sum(mask, dtype=jnp.float32)
+            w_global = lax.psum(w_local, mesh_axes)
+            n_dev_f = lax.psum(jnp.float32(1.0), mesh_axes)
+            loss_scale = w_local * n_dev_f / jnp.maximum(w_global, 1.0)
         if config.sat_epsilon > 0.0:
             # Self-adversarial training (the reference's unchecked TODO,
             # reference README.md:10-13): one FGSM step on the IMAGES that
@@ -193,9 +221,12 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig):
                          config.loss_prob_weight),
                 label_smoothing=config.label_smoothing,
                 return_components=True, sample_mask=mask)
-            return total, (new_state, comps)
+            # Pre-scale ONLY the differentiated value (see docstring); the
+            # reported loss/metrics stay the local masked means.
+            scaled = total if loss_scale is None else total * loss_scale
+            return scaled, (new_state, comps, total)
 
-        (loss, (new_state, comps)), grads = jax.value_and_grad(
+        (_, (new_state, comps, loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         return grads, new_state, {"loss": loss, **comps}
 
@@ -231,9 +262,19 @@ def _accumulated(grad_and_metrics, accum: int, mesh_axes=()):
             # tail): weight each micro-grad (a mean over its own valid
             # samples) by that count so the combination is the mean over
             # every valid sample of the whole logical batch.  Without masks
-            # the weights are equal and this is the plain average.
-            w = (jnp.sum(micro["mask"], dtype=jnp.float32) if has_mask
-                 else jnp.float32(1.0))
+            # the weights are equal and this is the plain average.  On a
+            # mesh the micro-grad is already the implicit-psum global
+            # weighted mean (the core pre-scales the loss — see
+            # _make_grad_and_metrics), so the weight must be the GLOBAL
+            # valid count of the micro-round, which is also mesh-invariant
+            # (scaling the invariant gsum by a device-varying weight would
+            # break shard_map's VMA typing).
+            if has_mask:
+                w = jnp.sum(micro["mask"], dtype=jnp.float32)
+                if mesh_axes:
+                    w = lax.psum(w, tuple(mesh_axes))
+            else:
+                w = jnp.float32(1.0)
             gsum = jax.tree.map(lambda a, b: a + w * b, gsum, g)
             if has_mask:
                 # An all-padding micro-batch must not advance the BN moving
@@ -327,7 +368,7 @@ def pad_mask_batch(batch: dict, target: int) -> dict:
 
 def make_train_step(num_classes: int, config: YoloConfig,
                     optimizer: optax.GradientTransformation,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True, masked: bool = False):
     """Build the jitted train step.
 
     Returned step: (params, state, opt_state, batch) ->
@@ -338,11 +379,17 @@ def make_train_step(num_classes: int, config: YoloConfig,
     :func:`chunk_batch` to (accum, B/accum, ...): the step scans micro-
     batches, averaging gradients, for accum-times-larger effective batch at
     constant activation memory.
+
+    ``masked`` (mesh path only): the batch carries a (B,) 0/1 validity
+    mask (pad-and-mask ragged tails).  Gradients, BN moving statistics and
+    metrics are weighted by per-shard valid counts, so the update equals
+    the mean over every valid sample regardless of how padding falls across
+    shards — ragged epoch tails train on the mesh instead of being dropped.
     """
-    core = _make_grad_and_metrics(num_classes, config)
+    mesh_axes = ("data",) if mesh is not None else ()
+    core = _make_grad_and_metrics(num_classes, config, mesh_axes=mesh_axes)
     grad_and_metrics = _accumulated(
-        core, config.grad_accum_steps,
-        mesh_axes=("data",) if mesh is not None else ())
+        core, config.grad_accum_steps, mesh_axes=mesh_axes)
 
     def step(params, state, opt_state, batch):
         grads, new_state, metrics = grad_and_metrics(params, state, batch)
@@ -365,7 +412,7 @@ def make_train_step(num_classes: int, config: YoloConfig,
     # With gradient accumulation the leading batch axis is the micro-step
     # stack (replicated scan axis); the per-device shard axis is axis 1.
     spec = (P(None, "data") if config.grad_accum_steps > 1 else P("data"))
-    batch_spec = _batch_pspec(config, spec)
+    batch_spec = _batch_pspec(config, spec, masked=masked)
 
     n_dev = mesh.devices.size
 
@@ -376,9 +423,24 @@ def make_train_step(num_classes: int, config: YoloConfig,
         # per-replica gradients; divide by the replica count for the mean —
         # an explicit pmean would be an identity on the already-invariant
         # value and silently leave an n_dev-times-too-large gradient.
+        # (With masks the core pre-scaled each shard's loss by
+        # w_local * n_dev / w_global, so this same division yields the
+        # valid-count-weighted mean — see _make_grad_and_metrics.)
         grads = jax.tree.map(lambda g: g / n_dev, grads)
-        new_state = lax.pmean(new_state, "data")  # average BN moving stats
-        metrics = lax.pmean(metrics, "data")
+        if masked:
+            # Weight BN moving stats and metrics by per-shard valid counts:
+            # an all-padding shard (w=0, finite throwaway stats by
+            # construction — see network masked BN) contributes nothing,
+            # and uneven tails average by sample, not by shard.
+            w = jnp.sum(batch["mask"], dtype=jnp.float32)
+            frac = w / jnp.maximum(lax.psum(w, "data"), 1.0)
+            weighted = lambda t: lax.psum(  # noqa: E731
+                jax.tree.map(lambda x: x * frac, t), "data")
+            new_state = weighted(new_state)
+            metrics = weighted(metrics)
+        else:
+            new_state = lax.pmean(new_state, "data")  # average BN stats
+            metrics = lax.pmean(metrics, "data")
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_state, new_opt_state, metrics
@@ -536,6 +598,7 @@ class Trainer:
                 (self.params, self.state, self.opt_state))
         self._step = make_train_step(num_classes, config, self.optimizer,
                                      self.mesh)
+        self._step_masked = None  # lazy: mesh pad-and-mask variant
         self._eval = make_eval_step(num_classes, config, self.mesh)
         self._chunk_grad = None     # lazy: jitted grads for aligned chunks
         self._chunk_combine = None  # lazy: weighted combine + Adam update
@@ -548,15 +611,33 @@ class Trainer:
             return shard_batch(batch, self.mesh, batch_axis=batch_axis)
         return batch
 
-    def train_step(self, batch) -> Optional[dict]:
-        """Run one optimizer step.  Returns the metrics dict (never drops
-        samples on the single-device path: ragged batches are padded to an
-        XLA-aligned size with a validity mask, or split into aligned chunks
-        — pad-and-mask, replacing round 2's drop-last warning).  Returns
-        ``None`` only on the MESH path when a ragged epoch-final tail is too
-        small to split into ``grad_accum_steps`` per-device micro-batches
-        (there, unequal per-shard valid counts would mis-weight the gradient
-        all-reduce, so trim/drop semantics are kept)."""
+    def _prefetch_place(self, batch):
+        """Producer-thread device placement (double-buffered device_put):
+        ships full batches to the accelerator from inside the prefetch
+        thread, so batch N+1's async H2D copy rides under batch N's
+        compute.  Ragged/non-aligned batches stay on host — train_step pads
+        or chunks them there first (host-side numpy padding is cheap;
+        re-placement of already-placed arrays is a no-op)."""
+        b = next(iter(jax.tree.leaves(batch))).shape[0]
+        if self.mesh is not None:
+            if b % (self.config.grad_accum_steps
+                    * self.mesh.devices.size) == 0 \
+                    and self.config.grad_accum_steps == 1:
+                return self._place(batch)
+            return batch
+        if self.config.grad_accum_steps == 1 and aligned_batch(b):
+            return jax.device_put(batch)
+        return batch
+
+    def train_step(self, batch) -> dict:
+        """Run one optimizer step.  Never drops samples: single-device
+        ragged/non-aligned batches are padded to an XLA-aligned size with a
+        validity mask or split into aligned chunks; MESH ragged tails are
+        padded to a whole number of per-device (micro-)batches and the
+        gradient all-reduce, BN statistics and metrics are weighted by
+        per-shard valid counts (see make_train_step(masked=True)) — the
+        update equals the mean over every valid sample, however unevenly
+        the padding falls across shards."""
         accum = self.config.grad_accum_steps
         b = next(iter(jax.tree.leaves(batch))).shape[0]
         if accum == 1 and self.mesh is None and not aligned_batch(b):
@@ -566,13 +647,13 @@ class Trainer:
             # ~b128 per-image throughput instead of the ~30% tiling
             # regression of a native b136 program.
             return self._chunked_step(batch)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        multiple = accum * n_dev
         if accum > 1:
-            n_dev = self.mesh.devices.size if self.mesh is not None else 1
-            multiple = accum * n_dev
             # Misconfiguration (as opposed to a ragged tail) is judged
             # against the NOMINAL full batch: if even a full generator batch
             # cannot be split into accum x num_devices equal micro-batches,
-            # no amount of trimming helps — fail loudly.  The device count
+            # no amount of padding helps — fail loudly.  The device count
             # is the ACTUAL mesh size (a Trainer built with an explicit
             # mesh is judged against the mesh it runs on, not the config's
             # num_devices hint).
@@ -584,31 +665,21 @@ class Trainer:
                     f"grad_accum_steps={accum} x {n_dev}-device "
                     "micro-batches — lower grad_accum_steps or raise "
                     "batch_size")
-            if b % multiple:
-                if self.mesh is None:
-                    # Ragged tail: pad to a whole number of micro-batch
-                    # rounds with a validity mask; the scan weights each
-                    # micro-grad by its valid count (all-padding chunks get
-                    # weight 0), so nothing is dropped and the update equals
-                    # the trimmed-tail mean.
-                    batch = pad_mask_batch(batch, -(-b // multiple) * multiple)
-                else:
-                    # Mesh path keeps trim/drop: unequal per-shard valid
-                    # counts would mis-weight the gradient all-reduce.
-                    keep = (b // multiple) * multiple
-                    if keep == 0:
-                        self._warn_ragged(
-                            f"grad_accum: skipping {b}-sample tail batch(es)"
-                            f" (smaller than accum x devices = {multiple})")
-                        return None
-                    self._warn_ragged(
-                        f"grad_accum: dropping {b - keep} tail sample(s) of "
-                        f"ragged batches (batch {b} -> {keep}, multiple of "
-                        f"{multiple})")
-                    batch = jax.tree.map(lambda x: x[:keep], batch)
+        if b % multiple:
+            # Ragged tail: pad to a whole number of per-device micro-batch
+            # rounds with a validity mask — nothing is dropped, on any path.
+            batch = pad_mask_batch(batch, -(-b // multiple) * multiple)
+        if accum > 1:
             batch = chunk_batch(batch, accum)
         batch = self._place(batch, batch_axis=1 if accum > 1 else 0)
-        self.params, self.state, self.opt_state, metrics = self._step(
+        step = self._step
+        if self.mesh is not None and "mask" in batch:
+            if self._step_masked is None:
+                self._step_masked = make_train_step(
+                    self.num_classes, self.config, self.optimizer,
+                    self.mesh, masked=True)
+            step = self._step_masked
+        self.params, self.state, self.opt_state, metrics = step(
             self.params, self.state, self.opt_state, batch)
         self.global_step += 1
         return metrics
@@ -665,11 +736,6 @@ class Trainer:
                                 tuple(gs), tuple(sts), tuple(ms), tuple(ws))
         self.global_step += 1
         return metrics
-
-    def _warn_ragged(self, msg: str) -> None:
-        if not getattr(self, "_warned_ragged", False):
-            print(msg)
-            self._warned_ragged = True
 
     # -- mutable learning rate (callback-driven scheduling) ---------------
     def _lr_hyperparams(self) -> dict:
@@ -789,10 +855,12 @@ class Trainer:
             # every step would block the host on each step's completion and
             # stop step N+1's dispatch from overlapping step N's compute.
             n, losses = 0, []
-            for batch in prefetch(train_gen, epochs=1):
+            # transform=_prefetch_place: batch N+1's host->device copy is
+            # issued from the producer thread and rides under batch N's
+            # compute (double-buffered device_put, SURVEY hard part #4).
+            for batch in prefetch(train_gen, epochs=1,
+                                  transform=self._prefetch_place):
                 metrics = self.train_step(batch)
-                if metrics is None:  # ragged tail dropped (grad accum)
-                    continue
                 n += 1
                 losses.append(metrics["loss"])
                 if verbose and n % log_every == 0:
@@ -803,15 +871,12 @@ class Trainer:
                     print(f"epoch {epoch} step {n}/{len(train_gen)} "
                           f"loss {mean:.4f}")
             if n == 0:
-                # Zero optimizer steps: empty generator, or every batch was
-                # a sub-accum ragged tail.  Recording loss 0.0 and saving a
-                # "best" checkpoint of an untrained model would be silently
-                # wrong — fail instead.
+                # Zero optimizer steps: the generator was empty.  Recording
+                # loss 0.0 and saving a "best" checkpoint of an untrained
+                # model would be silently wrong — fail instead.
                 raise ValueError(
                     f"epoch {epoch} ran zero optimizer steps — the "
-                    "generator was empty or every batch was smaller than "
-                    "grad_accum_steps x devices; lower grad_accum_steps "
-                    "or grow the dataset")
+                    "generator yielded no batches; grow the dataset")
             loss_sum = float(sum(float(l) for l in losses))
             entry = {"epoch": epoch, "loss": loss_sum / n,
                      "time": time.time() - t0}
