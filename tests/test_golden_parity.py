@@ -377,3 +377,93 @@ def test_keras_h5_reader_matches_darknet_loader(ref_modules, tmp_path):
         if a is not None:
             np.testing.assert_array_equal(b["mean"], a["mean"])
             np.testing.assert_array_equal(b["var"], a["var"])
+
+
+def _real_weights_path():
+    """Real pretrained COCO yolov4.weights, if any environment provides it.
+
+    Checked in order: the YOLOV4_WEIGHTS env var, then well-known paths.
+    The artifact is ~246 MB and is NOT in this image (zero egress), so the
+    test below normally skips — but the moment any environment supplies the
+    file, the flagship claim (decoded-box parity on REAL COCO weights,
+    reference utils.py:12-53 / README quick start) is proven with zero
+    extra work.
+    """
+    candidates = [os.environ.get("YOLOV4_WEIGHTS", "")]
+    candidates += ["/root/yolov4.weights", "/root/repo/yolov4.weights",
+                   os.path.expanduser("~/yolov4.weights")]
+    for p in candidates:
+        if p and os.path.isfile(p):
+            return p
+    return None
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(_real_weights_path() is None,
+                    reason="real COCO yolov4.weights not present (set "
+                           "YOLOV4_WEIGHTS=/path/to/yolov4.weights)")
+def test_real_coco_weights_parity_and_detections(ref_modules):
+    """Opt-in golden parity on REAL pretrained COCO weights (the artifact
+    the darknet loader exists for, reference utils.py:12-53; synthetic
+    density-calibrated bytes stand in for it everywhere else).  Asserts
+    (a) decoded boxes/scores/classes <=1e-3 vs the live reference through
+    the complete inference pipeline on a real sample image, and (b) a
+    sanity detection snapshot: the street scene must contain cars/people.
+    """
+    tf, ref_layers, ref_utils = ref_modules
+    import cv2
+
+    from yolov4tpu.api import Yolov4
+    from yolov4tpu.config import YoloConfig
+
+    wpath = _real_weights_path()
+    num_classes = 80
+    img = 416
+    cfg = YoloConfig()
+
+    raw = cv2.imread(os.path.join(REF, "img", "street.jpeg"))
+    assert raw is not None
+    x = cv2.resize(raw[:, :, ::-1], (img, img)).astype(np.float32) / 255.0
+    x = x[None]
+
+    # --- reference complete inference_model ---------------------------
+    tf.keras.backend.clear_session()
+    inp = tf.keras.layers.Input((img, img, 3))
+    neck = ref_layers.yolov4_neck(inp, num_classes)
+    ref_yolo = tf.keras.Model(inp, neck)
+    ref_utils.load_weights(ref_yolo, wpath)
+    anchors = np.asarray(cfg.anchors_grouped, np.float32)
+    head = ref_layers.yolov4_head(neck, num_classes, anchors,
+                                  np.asarray(cfg.xyscale, np.float32))
+    ref_inference = tf.keras.Model(
+        inp, ref_layers.nms(head, (img, img, 3), num_classes,
+                            iou_threshold=cfg.iou_threshold,
+                            score_threshold=cfg.score_threshold))
+    ref_b, ref_s, ref_c, ref_v = [np.asarray(t)
+                                  for t in ref_inference(x, training=False)]
+    ref_v = ref_v.astype(np.int32)
+    assert ref_v[0] >= 1, "reference found nothing on the street scene"
+
+    # --- ours, all three NMS implementations --------------------------
+    for impl in ("xla", "pallas", "fast"):
+        model = Yolov4(weight_path=wpath,
+                       class_name_path="class_names/coco_classes.txt",
+                       config=cfg.replace(nms_impl=impl))
+        got_b, got_s, got_c, got_v = [np.asarray(o)
+                                      for o in model.predict_batch(x)]
+        np.testing.assert_array_equal(got_v.astype(np.int32), ref_v,
+                                      err_msg=f"{impl}: valid counts")
+        n = int(ref_v[0])
+        np.testing.assert_array_equal(
+            got_c[0, :n].astype(np.int32), ref_c[0, :n].astype(np.int32),
+            err_msg=f"{impl}: classes")
+        np.testing.assert_allclose(got_s[0, :n], ref_s[0, :n], atol=1e-3,
+                                   rtol=0, err_msg=f"{impl}: scores")
+        np.testing.assert_allclose(got_b[0, :n], ref_b[0, :n], atol=1e-3,
+                                   rtol=0, err_msg=f"{impl}: boxes")
+
+    # --- detection snapshot: a street scene contains street things ----
+    names = [l.strip() for l in open("class_names/coco_classes.txt")]
+    detected = {names[int(c)] for c in got_c[0, :n]}
+    assert detected & {"car", "person", "truck", "bus", "traffic light"}, (
+        f"implausible street-scene detections: {detected}")
