@@ -9,8 +9,18 @@ export_prediction + Cartucho-format eval pipeline — for both activation
 calibrations (max-abs and percentile), both dataflows.
 
 Usage: python benchmarks/int8_realistic.py [--steps 4000] [--n 300]
-Prints one JSON line with mAPs and deltas.  Sized for the TPU (~10-20 min);
-a 1-core CPU host takes hours.
+         [--img 416] [--num-classes 21] [--bn-stats-gradient on|off]
+         [--out results/foo.json]
+Prints one JSON line with mAPs and deltas (delta = int8 − float mAP points,
+NEGATIVE = int8 worse — matches the PERF_NOTES table convention) and
+optionally writes it to --out for auditability.  --img 416 --num-classes 21
+is the OPERATING-POINT accuracy run (the int8 SPEED claim is measured at
+416²/80-class; accuracy must be proven at full depth/width too, where
+per-tensor activation scales are most stressed).  --bn-stats-gradient off
+is the convergence A/B for the +6% train-throughput flag
+(YoloConfig.bn_stats_gradient=False): same seeds, same recipe, report
+final mAP both ways.  Sized for the TPU (~10-30 min); a 1-core CPU host
+takes hours.
 """
 
 import argparse
@@ -25,30 +35,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CLASSES = ["box", "disc", "cross", "ring"]
 
+# >4 classes: identity = shape (5) x hue (up to 5) — 25 distinguishable
+# classes for operating-point runs (class k: shape k%5, hue k//5).
+SHAPE_NAMES = ["box", "disc", "cross", "ring", "tri"]
+HUES = [(230, 60, 50), (60, 220, 70), (70, 90, 230), (235, 220, 60),
+        (200, 80, 210)]
 
-def draw_object(img, x1, y1, x2, y2, cls, rng):
+
+def class_names(n: int):
+    if n <= len(CLASSES):
+        return CLASSES[:n]
+    assert n <= len(SHAPE_NAMES) * len(HUES), "at most 25 synthetic classes"
+    return [f"{SHAPE_NAMES[k % 5]}_{k // 5}" for k in range(n)]
+
+
+def draw_object(img, x1, y1, x2, y2, cls, rng, num_classes=4):
     """Draw one object; colors jittered so class identity is shape+hue."""
     import cv2
 
     cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
     w, h = x2 - x1, y2 - y1
-    base = [(230, 60, 50), (60, 220, 70), (70, 90, 230), (235, 220, 60)][cls]
+    if num_classes <= 4:
+        shape = cls
+        base = [(230, 60, 50), (60, 220, 70), (70, 90, 230),
+                (235, 220, 60)][cls]
+    else:
+        shape = cls % 5
+        base = HUES[cls // 5]
     color = tuple(int(np.clip(c + rng.integers(-40, 40), 0, 255))
                   for c in base)
-    if cls == 0:
+    if shape == 0:
         cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
-    elif cls == 1:
+    elif shape == 1:
         cv2.ellipse(img, (cx, cy), (w // 2, h // 2), 0, 0, 360, color, -1)
-    elif cls == 2:
+    elif shape == 2:
         t = max(2, min(w, h) // 4)
         cv2.rectangle(img, (cx - t, y1), (cx + t, y2), color, -1)
         cv2.rectangle(img, (x1, cy - t), (x2, cy + t), color, -1)
-    else:
+    elif shape == 3:
         t = max(2, min(w, h) // 5)
         cv2.ellipse(img, (cx, cy), (w // 2, h // 2), 0, 0, 360, color, t)
+    else:
+        pts = np.array([[cx, y1], [x1, y2 - 1], [x2 - 1, y2 - 1]], np.int32)
+        cv2.fillConvexPoly(img, pts, color)
 
 
-def make_dataset(tmp, n, side, rng):
+def make_dataset(tmp, n, side, rng, num_classes=4, max_objects=5):
     import cv2
 
     os.makedirs(f"{tmp}/imgs", exist_ok=True)
@@ -57,8 +89,8 @@ def make_dataset(tmp, n, side, rng):
         img = rng.integers(0, 90, (side, side, 3)).astype(np.uint8)
         img = (img * rng.uniform(0.6, 1.4)).clip(0, 255).astype(np.uint8)
         boxes, tries = [], 0
-        want = rng.integers(1, 6)
-        while len(boxes) < want and tries < 40:
+        want = rng.integers(1, max_objects + 1)
+        while len(boxes) < want and tries < 8 * max_objects:
             tries += 1
             w, h = rng.integers(14, side // 2, 2)
             x1 = int(rng.integers(0, side - w))
@@ -67,8 +99,8 @@ def make_dataset(tmp, n, side, rng):
             if any(not (x2 < a or x1 > b or y2 < c or y1 > d)
                    for a, b, c, d, _ in boxes):
                 continue
-            cls = int(rng.integers(0, len(CLASSES)))
-            draw_object(img, x1, y1, x2, y2, cls, rng)
+            cls = int(rng.integers(0, num_classes))
+            draw_object(img, x1, y1, x2, y2, cls, rng, num_classes)
             boxes.append((x1, y1, x2, y2, cls))
         name = f"s{i}.jpg"
         cv2.imwrite(f"{tmp}/imgs/{name}", img[:, :, ::-1])
@@ -83,6 +115,18 @@ def main():
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--img", type=int, default=96)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--num-classes", type=int, default=4,
+                    help=">4 uses shape x hue identities (max 25); 21+ is "
+                         "the operating-point accuracy run")
+    ap.add_argument("--max-objects", type=int, default=5)
+    ap.add_argument("--bn-stats-gradient", choices=("on", "off"),
+                    default="on",
+                    help="A/B the bn_stats_gradient=False throughput flag: "
+                         "'off' trains with BN batch statistics treated as "
+                         "constants in the backward pass")
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON line to this path "
+                         "(auditable artifact, e.g. benchmarks/results/...)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (env-var platform selection "
                          "is ignored once accelerator plugins are installed)")
@@ -103,19 +147,23 @@ def main():
     from yolov4tpu.train import Trainer, cosine_annealing_schedule
 
     rng = np.random.default_rng(11)
+    names = class_names(args.num_classes)
     tmp = tempfile.mkdtemp(prefix="int8_realistic_")
-    annos = make_dataset(tmp, args.n, args.img, rng)
+    annos = make_dataset(tmp, args.n, args.img, rng,
+                         num_classes=args.num_classes,
+                         max_objects=args.max_objects)
     n_val = min(max(4, args.n // 5), args.n // 2)
     train_lines, val_lines = annos[:-n_val], annos[-n_val:]
     open(f"{tmp}/anno_train.txt", "w").write("\n".join(train_lines) + "\n")
     open(f"{tmp}/anno_val.txt", "w").write("\n".join(val_lines) + "\n")
-    open(f"{tmp}/classes.txt", "w").write("\n".join(CLASSES) + "\n")
+    open(f"{tmp}/classes.txt", "w").write("\n".join(names) + "\n")
 
     side = args.img
     cfg = YoloConfig(img_size=(side, side, 3), batch_size=args.batch,
                      csp_repeats=(1, 1, 1, 1, 1), learning_rate=2e-3,
                      compute_dtype="bfloat16", score_threshold=0.3,
-                     nms_pre_top_k=128)
+                     nms_pre_top_k=128,
+                     bn_stats_gradient=args.bn_stats_gradient == "on")
     model = Yolov4(weight_path=None, class_name_path=f"{tmp}/classes.txt",
                    config=cfg, seed=3)
 
@@ -132,11 +180,11 @@ def main():
 
     timgs, tboxes = load(train_lines)
     labels, xywh = preprocess_true_boxes(
-        tboxes, (side, side), cfg.anchors_flat, len(CLASSES))
+        tboxes, (side, side), cfg.anchors_flat, len(names))
 
     sched = cosine_annealing_schedule(2e-3, 1e-5, cycle_epochs=1,
                                       steps_per_epoch=max(args.steps, 1))
-    tr = Trainer(cfg, len(CLASSES), model.params, model.state,
+    tr = Trainer(cfg, len(names), model.params, model.state,
                  schedule=sched)
     n_train = len(train_lines)
     order = np.arange(n_train)
@@ -169,7 +217,9 @@ def main():
         return res
 
     out = {"steps": args.steps, "n_train": n_train, "n_val": n_val,
-           "img": side, "final_loss": round(float(m["loss"]), 3)}
+           "img": side, "num_classes": args.num_classes,
+           "bn_stats_gradient": args.bn_stats_gradient == "on",
+           "final_loss": round(float(m["loss"]), 3)}
     res_f = eval_variant("float")
     out["mAP_float"] = res_f.pop("mAP")
     out["per_class_float"] = res_f
@@ -179,10 +229,17 @@ def main():
                            calib_method=method)
             tag = f"{method}_{dataflow}"
             out[f"mAP_int8_{tag}"] = eval_variant(tag)["mAP"]
+            # delta = int8 - float (NEGATIVE = int8 worse), matching the
+            # PERF_NOTES table convention (ADVICE r3).
             out[f"delta_{tag}"] = round(
-                out["mAP_float"] - out[f"mAP_int8_{tag}"], 6)
+                out[f"mAP_int8_{tag}"] - out["mAP_float"], 6)
             model.dequantize()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":
