@@ -44,6 +44,62 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+# --- Test tiers -----------------------------------------------------------
+# The full suite costs ~60 min on a 1-core host (the 110-conv graph compiles
+# dominate).  These tests each measured >=25s there (durations snapshot,
+# round 4); marking them `heavy` leaves a <10-minute inner-loop tier:
+#     python -m pytest tests/ -q -m "not slow and not heavy"
+# The FULL suite (no -m filter plus --slow golden parity) remains the gate
+# for commits that touch the train step, mesh paths, or serving export.
+# One central set (not 30 scattered decorators) so the tier is auditable
+# and editable in one place.
+_HEAVY = {
+    "test_accum_padded_tail_trains_instead_of_dropping",
+    "test_api_quantize_roundtrip",
+    "test_bn_stats_gradient_flag",
+    "test_bn_train_updates_moving_stats",
+    "test_chunked_step_nonaligned_batch",
+    "test_cosine_callback_drives_optimizer",
+    "test_dp_mesh_equivalence",
+    "test_dp_train_mode_gradient_equivalence",
+    "test_encode_on_device_multiscale_matches_host_per_size",
+    "test_encode_on_device_step_matches_host",
+    "test_eval_map_callback_during_fit",
+    "test_export_custom_thresholds",
+    "test_export_load_round_trip",
+    "test_export_multiplatform_xla",
+    "test_export_quantized_model",
+    "test_forward_shapes_and_grid_derivation",
+    "test_grad_accum_ragged_batch_pads_everywhere",
+    "test_grad_accum_step",
+    "test_masked_step_matches_trimmed",
+    "test_mesh_grad_accum_step",
+    "test_mesh_masked_step_weights_by_valid_count",
+    "test_mesh_step_with_encode_on_device",
+    "test_overfit_tiny_synthetic",
+    "test_predict_batch_ragged_pads_to_aligned",
+    "test_quantize_composes_with_distribute",
+    "test_shard_map_train_step",
+    "test_spatial_sharded_inference_matches_single",
+    "test_train_step_bfloat16",
+    "test_train_step_handles_multiple_sizes",
+    "test_train_step_pallas_wgrad_matches_default",
+    "test_train_step_runs_and_updates",
+    "test_train_step_sat",
+    "test_trainer_checkpoint_resume",
+    "test_trainer_fit_smoke",
+    "test_twophase_heterogeneous_matches_fused",
+    "test_two_process_distributed_step",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _HEAVY:
+            item.add_marker(pytest.mark.heavy)
+
+
 @pytest.fixture()
 def rng():
     # Function-scoped: every test gets a fresh deterministic stream, so test
