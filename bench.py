@@ -146,9 +146,65 @@ def _child_body(result, extras, errors):
     # Host input pipeline (no device needed): can the host FEED the device?
     try:
         from benchmarks.bench_data import measure as measure_host
-        extras["host_pipeline"] = measure_host(n=48, batch=16)
+        extras["host_pipeline"] = measure_host(n=48, batch=16, sweep=True)
     except Exception as e:
         errors.append(f"host pipeline: {_err(e)}")
+
+
+def _device_calibration(errors, iters=8):
+    """Measured MXU peak + HBM streaming bandwidth of the ATTACHED chip
+    (short form of benchmarks/roofline.py).  Recorded per run so img/s
+    numbers are comparable across rounds even when the attached slice
+    changes — round 3's slice measured 117 TF/s / 190 GB/s against the
+    v5e's nominal 197 / 819; without this line a future capture on a
+    different slice reads as a code regression/win when it's the part.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    cal = {}
+    rng = np.random.default_rng(0)
+
+    def best_of(fn, x, runs=2):
+        g = jax.jit(fn)
+        jax.device_get(jax.tree.leaves(g(x))[0].ravel()[0])  # compile+warm
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            jax.device_get(jax.tree.leaves(g(x))[0].ravel()[0])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    try:
+        a = jnp.asarray(rng.normal(0, 1, (8192, 8192)), jnp.bfloat16)
+        dt = best_of(
+            lambda a0: lax.scan(lambda c, _: (c @ a, None), a0, None,
+                                length=iters)[0], a)
+        cal["matmul_bf16_tflops"] = round(2 * 8192 ** 3 / dt / 1e12, 1)
+        x = jnp.asarray(rng.normal(0, 1, (1024, 1024, 256)), jnp.bfloat16)
+        dt = best_of(
+            lambda x0: lax.scan(lambda c, _: (c + c, None), x0, None,
+                                length=iters)[0], x)
+        cal["stream_bf16_gbps"] = round(
+            2 * x.size * x.dtype.itemsize / dt / 1e9)
+    except Exception as e:
+        errors.append(f"calibration: {_err(e)}")
+    return cal
+
+
+def _flops_per_call(jitted, *args):
+    """XLA's own FLOP count for one call of a jitted fn (client-side cost
+    analysis on the compiled HLO; lowering hits the persistent compile
+    cache).  None when the backend doesn't report one."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float((ca or {}).get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def _device_sections(result, extras, errors):
@@ -256,7 +312,7 @@ def _device_sections(result, extras, errors):
         errors.append(f"int8: {_err(e)}")
 
     # Training throughput: fused jitted step (fwd+loss+bwd+Adam), bf16.
-    def measure_train(batch):
+    def measure_train(batch, flops_out=None):
         cfg_t = YoloConfig(compute_dtype="bfloat16", batch_size=batch)
         opt = make_optimizer(cfg_t)
         step = make_train_step(num_classes, cfg_t, opt, donate=True)
@@ -271,6 +327,8 @@ def _device_sections(result, extras, errors):
              "boxes": jnp.asarray(xywh)}
         p, s = jax.device_put((params, state))
         o = opt.init(p)
+        if flops_out is not None:
+            flops_out[batch] = _flops_per_call(step, p, s, o, b)
         p, s, o, m = step(p, s, o, b)
         float(m["loss"])  # warmup + hard sync
         iters = 20
@@ -284,17 +342,85 @@ def _device_sections(result, extras, errors):
     # img/s b16 -> 310 b128); 128 is the largest size the remote compile
     # helper accepts at 416^2, with 64 as the fallback.
     train_best, train_bs = 0.0, None
+    train_flops = {}
     for batch in (128, 64):
         try:
-            train_best, train_bs = measure_train(batch), batch
+            train_best, train_bs = measure_train(batch, train_flops), batch
             break
         except Exception as e:
             errors.append(f"train b{batch}: {_err(e)}")
             continue
 
+    # Batch-1 latency, plain vs GSPMD-spatial-sharded (api.distribute
+    # axis="spatial" claims latency scaling for small batches; on a 1-chip
+    # attachment this measures the GSPMD path's OVERHEAD — true multi-chip
+    # halo-exchange scaling needs a pod and is recorded as such).
+    latency = {}
+
+    def measure_latency(fn, folded, iters=30):
+        images = jnp.asarray(
+            rng.uniform(0, 1, (1, 416, 416, 3)).astype(np.float32))
+        sync(fn(folded, images))  # compile + warm
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            sync(fn(folded, images))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times) * 1000)
+
+    try:
+        latency["b1_ms"] = round(measure_latency(infer, folded_busy), 3)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from yolov4tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()))
+        infer_sp = jax.jit(
+            infer.__wrapped__,
+            in_shardings=(NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P(None, "data"))))
+        latency["b1_spatial_ms"] = round(
+            measure_latency(infer_sp, folded_busy), 3)
+        latency["spatial_n_devices"] = len(jax.devices())
+        if len(jax.devices()) == 1:
+            latency["note"] = ("1-chip attachment: spatial number is GSPMD "
+                               "overhead only, not halo-exchange scaling")
+    except Exception as e:
+        errors.append(f"latency: {_err(e)}")
+
+    calibration = _device_calibration(errors)
+
+    # MFU: achieved TFLOP/s (XLA's own per-call FLOP count x measured rate)
+    # over the MEASURED matmul peak of this chip slice — the
+    # cross-round-comparable utilization number (img/s alone conflates code
+    # and part; see device_calibration).
+    mfu = {}
+    peak = calibration.get("matmul_bf16_tflops")
+    try:
+        if busy_bs:
+            images = jnp.asarray(
+                rng.uniform(0, 1, (busy_bs, 416, 416, 3)).astype(np.float32))
+            f = _flops_per_call(infer, folded_busy, images)
+            if f:
+                mfu["infer_achieved_tflops"] = round(
+                    f * busy_best / busy_bs / 1e12, 1)
+        if train_bs and train_flops.get(train_bs):
+            mfu["train_achieved_tflops"] = round(
+                train_flops[train_bs] * train_best / train_bs / 1e12, 1)
+        if peak:
+            for sec in ("infer", "train"):
+                if f"{sec}_achieved_tflops" in mfu:
+                    mfu[f"{sec}_mfu"] = round(
+                        mfu[f"{sec}_achieved_tflops"] / peak, 3)
+    except Exception as e:
+        errors.append(f"mfu: {_err(e)}")
+
     result["value"] = round(busy_best, 2)
     result["vs_baseline"] = round(busy_best / NORTH_STAR, 4)
     extras.update({
+        "device_calibration": calibration,
+        "mfu": mfu,
+        "latency_416": latency,
         "batch_size": busy_bs,
         "device": str(jax.devices()[0]),
         "per_chip_target": 625.0,
