@@ -119,6 +119,9 @@ def main():
                     help=">4 uses shape x hue identities (max 25); 21+ is "
                          "the operating-point accuracy run")
     ap.add_argument("--max-objects", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=2e-3,
+                    help="cosine-annealing peak LR (A/B runs may need a "
+                         "lower peak: bn_stats_gradient=off NaNs at 2e-3)")
     ap.add_argument("--bn-stats-gradient", choices=("on", "off"),
                     default="on",
                     help="A/B the bn_stats_gradient=False throughput flag: "
@@ -139,6 +142,7 @@ def main():
     from _cache import enable as _enable_cache
     _enable_cache()
     import cv2
+    import jax
     import jax.numpy as jnp
 
     from yolov4tpu.api import Yolov4
@@ -160,7 +164,7 @@ def main():
 
     side = args.img
     cfg = YoloConfig(img_size=(side, side, 3), batch_size=args.batch,
-                     csp_repeats=(1, 1, 1, 1, 1), learning_rate=2e-3,
+                     csp_repeats=(1, 1, 1, 1, 1), learning_rate=args.lr,
                      compute_dtype="bfloat16", score_threshold=0.3,
                      nms_pre_top_k=128,
                      bn_stats_gradient=args.bn_stats_gradient == "on")
@@ -182,24 +186,33 @@ def main():
     labels, xywh = preprocess_true_boxes(
         tboxes, (side, side), cfg.anchors_flat, len(names))
 
-    sched = cosine_annealing_schedule(2e-3, 1e-5, cycle_epochs=1,
+    sched = cosine_annealing_schedule(args.lr, 1e-5, cycle_epochs=1,
                                       steps_per_epoch=max(args.steps, 1))
     tr = Trainer(cfg, len(names), model.params, model.state,
                  schedule=sched)
     n_train = len(train_lines)
+    # Device-resident dataset, batches gathered ON device.  Slicing host
+    # arrays per step ships ~50 MB/step (416^2) through the transfer queue
+    # with no backpressure — a 4000-step run enqueues ~200 GB and OOMs the
+    # HOST at ~130 GB anon-rss (observed 2026-08-19).  The whole dataset is
+    # <1 GB, so park it in HBM once and index it there.
+    timgs_d = jax.device_put(timgs)
+    labels_d = [jax.device_put(l) for l in labels]
+    xywh_d = jax.device_put(xywh)
     order = np.arange(n_train)
     bs, pos = args.batch, 0
     for step in range(args.steps):
         if pos + bs > n_train:
             rng.shuffle(order)
             pos = 0
-        idx = order[pos:pos + bs]
+        idx = jnp.asarray(order[pos:pos + bs])
         pos += bs
-        batch = {"image": jnp.asarray(timgs[idx]),
-                 "labels": [jnp.asarray(l[idx]) for l in labels],
-                 "boxes": jnp.asarray(xywh[idx])}
+        batch = {"image": jnp.take(timgs_d, idx, axis=0),
+                 "labels": [jnp.take(l, idx, axis=0) for l in labels_d],
+                 "boxes": jnp.take(xywh_d, idx, axis=0)}
         m = tr.train_step(batch)
-        if step % 500 == 0:
+        if step % 250 == 0:
+            # float() blocks: doubles as dispatch-queue backpressure.
             print(f"# step {step} loss {float(m['loss']):.3f}",
                   file=sys.stderr, flush=True)
     model.sync_from_trainer(tr)

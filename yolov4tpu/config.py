@@ -89,7 +89,13 @@ class YoloConfig:
     # batch mean/var like keras BatchNormalization (reference parity math).
     # False treats the stats as constants in the backward pass — an opt-in
     # ~+10% train-step throughput (measured 212->237 img/s, 416^2 b16 bf16
-    # on v5e); scale/shift still learn.  Validate convergence per workload.
+    # on v5e); scale/shift still learn.  CONVERGENCE A/B (2026-08-19,
+    # benchmarks/int8_realistic.py --bn-stats-gradient off, same seeds):
+    # the default converged to 0.826 mAP while False DIVERGED to NaN
+    # within 500 steps at peak LR 2e-3 — the stat-gradient chain is BN's
+    # self-stabilizer (it shrinks the effective gradient of activations
+    # that grow the batch variance).  Treat False as unsafe at aggressive
+    # LRs; see benchmarks/PERF_NOTES.md "bn_stats_gradient A/B".
     bn_stats_gradient: bool = True
 
     # Pallas weight-gradient kernel for the 3x3 stride-1 convs in training:
