@@ -91,11 +91,13 @@ class YoloConfig:
     # ~+10% train-step throughput (measured 212->237 img/s, 416^2 b16 bf16
     # on v5e); scale/shift still learn.  CONVERGENCE A/B (2026-08-19,
     # benchmarks/int8_realistic.py --bn-stats-gradient off, same seeds):
-    # the default converged to 0.826 mAP while False DIVERGED to NaN
-    # within 500 steps at peak LR 2e-3 — the stat-gradient chain is BN's
+    # the default converged to 0.826/0.883 mAP (peak LR 2e-3/5e-4) while
+    # False DIVERGED to NaN within 500 steps at 2e-3 and stalled at mAP
+    # 0.002 (final loss 206) at 5e-4 — the stat-gradient chain is BN's
     # self-stabilizer (it shrinks the effective gradient of activations
-    # that grow the batch variance).  Treat False as unsafe at aggressive
-    # LRs; see benchmarks/PERF_NOTES.md "bn_stats_gradient A/B".
+    # that grow the batch variance).  Treat False as EXPERIMENT-ONLY: it
+    # failed from-scratch training at every tested LR; see
+    # benchmarks/PERF_NOTES.md "bn_stats_gradient A/B".
     bn_stats_gradient: bool = True
 
     # Pallas weight-gradient kernel for the 3x3 stride-1 convs in training:
