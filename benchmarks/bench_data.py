@@ -45,20 +45,26 @@ if __name__ == "__main__":  # direct-script use without installed package
                     os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _make_dataset(tmp: str, n: int, rng) -> tuple:
+def _make_dataset(tmp: str, n: int, rng, num_classes: int = 3,
+                  size_range=(300, 700), boxes_per_img: int = 5,
+                  box_wh=(50, 60)) -> tuple:
+    """Synthetic on-disk JPEG dataset + annotation lines (shared with
+    bench_e2e_train)."""
     import cv2
 
     classes = os.path.join(tmp, "classes.txt")
     with open(classes, "w") as f:
-        f.write("a\nb\nc\n")
+        f.write("".join(f"c{k}\n" for k in range(num_classes)))
     lines = []
+    bw, bh = box_wh
     for i in range(n):
-        h, w = rng.integers(300, 700), rng.integers(300, 700)
+        h, w = rng.integers(*size_range), rng.integers(*size_range)
         cv2.imwrite(os.path.join(tmp, f"i{i}.jpg"),
                     rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
         boxes = " ".join(
-            f"{x},{y},{x+50},{y+60},{rng.integers(0, 3)}"
-            for x, y in rng.integers(10, 200, (5, 2)))
+            f"{x},{y},{x + bw},{y + bh},{rng.integers(0, num_classes)}"
+            for x, y in rng.integers(10, min(size_range[0], 300) - bh,
+                                     (boxes_per_img, 2)))
         lines.append(f"i{i}.jpg {boxes}\n")
     return classes, lines
 

@@ -36,22 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _make_dataset(tmp, n, rng):
-    import cv2
-
-    classes = os.path.join(tmp, "classes.txt")
-    with open(classes, "w") as f:
-        f.write("a\nb\nc\nd\n")
-    lines = []
-    for i in range(n):
-        h, w = int(rng.integers(400, 800)), int(rng.integers(400, 800))
-        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        cv2.imwrite(os.path.join(tmp, f"i{i}.jpg"), img)
-        boxes = " ".join(
-            f"{x},{y},{x + 60},{y + 80},{rng.integers(0, 4)}"
-            for x, y in rng.integers(10, 300, (4, 2)))
-        lines.append(f"i{i}.jpg {boxes}\n")
-    return classes, lines
+from bench_data import _make_dataset
 
 
 def measure(img=416, batch=64, n=256, epochs=2, shallow=False,
@@ -71,7 +56,9 @@ def measure(img=416, batch=64, n=256, epochs=2, shallow=False,
     out = {"img": img, "batch": batch, "n_images": n,
            "cpu_count": os.cpu_count(), "device": str(jax.devices()[0])}
     try:
-        classes, lines = _make_dataset(tmp, n, rng)
+        classes, lines = _make_dataset(tmp, n, rng, num_classes=4,
+                                       size_range=(400, 800),
+                                       boxes_per_img=4, box_wh=(60, 80))
         repeats = (1, 1, 1, 1, 1) if shallow else (1, 2, 8, 8, 4)
         C = 4
 

@@ -214,11 +214,71 @@ int yolodata_num_threads() {
 // Error contract: every failure path returns a negative status instead of
 // calling libjpeg's exit(); Python falls back to cv2 for that image.
 //   -1 file unreadable, -2 not a decodable JPEG (or libjpeg error),
-//   -3 unsupported color layout / undersized buffer, -100 built w/o libjpeg.
+//   -3 unsupported color layout / undersized buffer,
+//   -4 EXIF orientation != 1 (cv2.imread auto-rotates such files; decoding
+//      the raw raster here would silently train rotated images against
+//      unrotated boxes — the caller's cv2 fallback applies the rotation),
+//   -100 built w/o libjpeg.
 // ---------------------------------------------------------------------------
 #if !defined(YOLO_NO_JPEG)
 
 namespace {
+
+// EXIF orientation (tag 0x0112) from a JPEG byte stream, or 1 when absent/
+// unparseable.  Scans the marker chain for APP1/"Exif\0\0" and walks IFD0
+// of the embedded TIFF with full bounds checking.
+int exif_orientation(const uint8_t* d, size_t n) {
+  if (n < 4 || d[0] != 0xFF || d[1] != 0xD8) return 1;
+  size_t i = 2;
+  while (i + 4 <= n) {
+    if (d[i] != 0xFF) return 1;               // desynced marker chain
+    uint8_t m = d[i + 1];
+    if (m == 0xFF) { i++; continue; }          // fill byte
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { i += 2; continue; }
+    if (m == 0xD9 || m == 0xDA) return 1;      // EOI / SOS: no EXIF ahead
+    size_t seg = (static_cast<size_t>(d[i + 2]) << 8) | d[i + 3];
+    if (seg < 2 || i + 2 + seg > n) return 1;
+    if (m == 0xE1 && seg >= 2 + 6 + 8) {
+      const uint8_t* p = d + i + 4;            // APP1 payload
+      size_t len = seg - 2;
+      if (std::memcmp(p, "Exif\0\0", 6) == 0) {
+        const uint8_t* t = p + 6;              // TIFF header
+        size_t tlen = len - 6;
+        bool le;
+        if (t[0] == 'I' && t[1] == 'I') le = true;
+        else if (t[0] == 'M' && t[1] == 'M') le = false;
+        else return 1;
+        auto u16 = [&](size_t off) -> unsigned {
+          return le ? t[off] | (t[off + 1] << 8)
+                    : (t[off] << 8) | t[off + 1];
+        };
+        auto u32 = [&](size_t off) -> size_t {
+          return le ? static_cast<size_t>(t[off]) | (t[off + 1] << 8)
+                          | (static_cast<size_t>(t[off + 2]) << 16)
+                          | (static_cast<size_t>(t[off + 3]) << 24)
+                    : (static_cast<size_t>(t[off]) << 24)
+                          | (static_cast<size_t>(t[off + 1]) << 16)
+                          | (t[off + 2] << 8) | t[off + 3];
+        };
+        if (tlen < 8 || u16(2) != 0x2A) return 1;
+        size_t ifd = u32(4);
+        if (ifd + 2 > tlen) return 1;
+        unsigned cnt = u16(ifd);
+        for (unsigned e = 0; e < cnt; e++) {
+          size_t ent = ifd + 2 + static_cast<size_t>(e) * 12;
+          if (ent + 12 > tlen) return 1;
+          if (u16(ent) == 0x0112 && u16(ent + 2) == 3) {
+            unsigned v = u16(ent + 8);
+            return (v >= 1 && v <= 8) ? static_cast<int>(v) : 1;
+          }
+        }
+      }
+      return 1;  // APP1 present without (parsable) orientation
+    }
+    i += 2 + seg;
+  }
+  return 1;
+}
 
 struct JerrMgr {
   jpeg_error_mgr pub;
@@ -248,6 +308,10 @@ int pick_denom(int h, int w, int min_h, int min_w) {
 int decode_jpeg_mem(const uint8_t* data, size_t len, int min_h, int min_w,
                     uint8_t* out, size_t cap, int* oh, int* ow, int* fh,
                     int* fw) {
+  // cv2.imread applies EXIF rotation by default; this decoder does not.
+  // Route EXIF-rotated files (a small minority of real datasets) to the
+  // caller's cv2 fallback instead of silently mis-orienting them.
+  if (exif_orientation(data, len) != 1) return -4;
   jpeg_decompress_struct cinfo;
   JerrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);

@@ -73,6 +73,7 @@ _HEAVY = {
     "test_grad_accum_ragged_batch_pads_everywhere",
     "test_grad_accum_step",
     "test_masked_step_matches_trimmed",
+    "test_mesh_accum_masked_weights_local_counts",
     "test_mesh_grad_accum_step",
     "test_mesh_masked_step_weights_by_valid_count",
     "test_mesh_step_with_encode_on_device",

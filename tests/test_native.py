@@ -133,3 +133,67 @@ def test_ingest_batch_mixed_formats(tmp_path, rng):
     np.testing.assert_allclose(imgs_x[0], ref, atol=1e-6)
     with pytest.raises(FileNotFoundError):
         native.ingest_batch([str(tmp_path / "nope.jpg")], boxes[:1], (48, 48))
+
+
+def _insert_exif_orientation(jpeg_bytes: bytes, orientation: int) -> bytes:
+    """Insert a minimal EXIF APP1 segment (little-endian TIFF, one IFD0
+    entry: tag 0x0112 = orientation) right after SOI."""
+    tiff = (b"II" + (0x2A).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (0x0112).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little")
+            + orientation.to_bytes(2, "little") + b"\x00\x00"
+            + (0).to_bytes(4, "little"))
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    assert jpeg_bytes[:2] == b"\xff\xd8"
+    return jpeg_bytes[:2] + app1 + jpeg_bytes[2:]
+
+
+def test_exif_rotated_jpeg_routes_to_cv2(tmp_path, rng):
+    """EXIF orientation != 1: cv2.imread auto-rotates such JPEGs, the raw
+    libjpeg raster is unrotated — the native decoder must DETECT the tag
+    and defer to the cv2 fallback so image content and box geometry stay
+    consistent (decoding raw would silently train rotated pixels against
+    unrotated boxes).  Orientation == 1 tags stay on the native path."""
+    cv2 = pytest.importorskip("cv2")
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    img = rng.integers(0, 256, (60, 90, 3), dtype=np.uint8)
+    plain = str(tmp_path / "plain.jpg")
+    cv2.imwrite(plain, img)
+    raw = open(plain, "rb").read()
+
+    rotated = str(tmp_path / "rot6.jpg")
+    open(rotated, "wb").write(_insert_exif_orientation(raw, 6))
+    upright = str(tmp_path / "or1.jpg")
+    open(upright, "wb").write(_insert_exif_orientation(raw, 1))
+
+    # cv2 rotates 90deg (60x90 -> 90x60); native must refuse the file...
+    assert cv2.imread(rotated).shape[:2] == (90, 60)
+    assert native.imread(rotated) is None
+    # ...but keep decoding an orientation=1 tag natively, bit-identically.
+    nat = native.imread(upright)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, cv2.imread(upright)[:, :, ::-1])
+
+    # Fused batch ingest: the EXIF image falls back to cv2 per-image with
+    # boxes rescaled by the ROTATED (displayed) dims cv2 reports.
+    boxes = np.zeros((2, 4, 5), np.float32)
+    boxes[0, 0] = [9, 6, 45, 30, 1]   # authored in displayed 60x90 frame
+    boxes[1, 0] = [9, 6, 45, 30, 1]   # displayed frame is rotated: 90x60
+    imgs, ob = native.ingest_batch([plain, rotated], boxes, (48, 48))
+    ref_rot = cv2.resize(cv2.imread(rotated)[:, :, ::-1],
+                         (48, 48)).astype(np.float32) / 255.0
+    assert np.abs(imgs[1] - ref_rot).max() < 2.5 / 255.0
+    np.testing.assert_allclose(
+        ob[0, 0, :4],
+        [9 * 48 / 90, 6 * 48 / 60, 45 * 48 / 90, 30 * 48 / 60], rtol=1e-5)
+    np.testing.assert_allclose(
+        ob[1, 0, :4],
+        [9 * 48 / 60, 6 * 48 / 90, 45 * 48 / 60, 30 * 48 / 90], rtol=1e-5)
+
+    # The generic reader (what DataGenerator uses) returns the rotated
+    # raster for EXIF files via its cv2 fallback.
+    from yolov4tpu.data.pipeline import read_image_rgb
+    assert read_image_rgb(rotated).shape[:2] == (90, 60)

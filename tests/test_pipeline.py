@@ -261,6 +261,52 @@ def test_prefetch_yields_all_batches(dataset):
     assert all(b["image"].shape[1:] == (64, 64, 3) for b in batches)
 
 
+def test_prefetch_surfaces_producer_failure(dataset):
+    """A failure inside the producer thread (decode error, device OOM in
+    the transform) must RAISE in the consumer — not silently truncate the
+    epoch or masquerade as an empty generator."""
+    gen = DataGenerator(dataset["lines"], dataset["classes"],
+                        dataset["img_dir"], config=CFG, seed=0)
+
+    boom = RuntimeError("H2D placement failed")
+
+    def bad_transform(b):
+        raise boom
+
+    with pytest.raises(RuntimeError, match="H2D placement failed"):
+        list(prefetch(gen, epochs=1, transform=bad_transform))
+
+    # Mid-epoch failure: first batch flows, the error surfaces after it.
+    calls = []
+
+    def fail_second(b):
+        calls.append(1)
+        if len(calls) == 2:
+            raise boom
+        return b
+
+    got = []
+    with pytest.raises(RuntimeError, match="H2D placement failed"):
+        for b in prefetch(gen, epochs=1, transform=fail_second):
+            got.append(b)
+    assert len(got) == 1
+
+
+def test_generator_pool_close_idempotent(dataset):
+    """The worker pool is lazy, shuts down via close()/context exit, and
+    close() is idempotent (it also runs on GC via weakref.finalize)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, num_workers=2)
+    with DataGenerator(dataset["lines"], dataset["classes"],
+                       dataset["img_dir"], config=cfg, seed=0) as gen:
+        assert gen._pool is None  # lazy: nothing until a parallel batch
+        b = gen.get_batch(0)
+        assert b["image"].shape[0] == 2
+    assert gen._pool is None
+    gen.close()  # idempotent
+
+
 def test_read_annotation_lines_split(dataset):
     lines = read_annotation_lines(dataset["anno"])
     assert len(lines) == 5
@@ -392,8 +438,9 @@ def test_worker_pool_determinism(dataset):
                        seed=11, **kw)
     g4 = DataGenerator(dataset["lines"], config=cfg.replace(num_workers=4),
                        seed=11, **kw)
-    assert g1._pool is None and g4._pool is not None
+    assert g1._pool is None and g4._pool is None  # pool is lazy
     b1, b4 = g1.get_batch(0), g4.get_batch(0)
+    assert g1._pool is None and g4._pool is not None
     np.testing.assert_array_equal(b1["image"], b4["image"])
     np.testing.assert_array_equal(b1["boxes"], b4["boxes"])
     for l1, l4 in zip(b1["labels"], b4["labels"]):

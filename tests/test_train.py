@@ -549,6 +549,91 @@ def test_mesh_masked_step_weights_by_valid_count(rng):
     assert mismatch, "test lost its discrimination power"
 
 
+def test_mesh_accum_masked_weights_local_counts(rng):
+    """Mesh + grad-accum + ragged tail: BN state and metrics must weight by
+    LOCAL per-shard valid counts, gradients by GLOBAL micro-round counts.
+
+    bs=5 on a 2-device mesh at accum=2 pads to 8 and lands as
+      shard0: micro0=[s0,s1]  micro1=[s4,pad]
+      shard1: micro0=[s2,s3]  micro1=[pad,pad]   <- all-padding micro
+    The all-padding micro's GLOBAL count is 1 (s4 lives on shard0), so a
+    global-count guard would keep shard1's throwaway BN stats (mean-0/
+    unit-var fallback) in its moving-average chain, and global-count metric
+    weighting would skew the loss toward globally fuller micro-rounds.
+    Expected semantics, hand-computed from the single-device masked core
+    with per-shard state threading:
+      grads   = (2 g00 + 2 g10 + 1 g01) / 5          (per-sample mean)
+      state   = (3 st01 + 2 st10) / 5                (st10, NOT st11)
+      metrics = (2 m00 + 2 m10 + 1 m01) / 5
+    """
+    import dataclasses
+
+    import optax
+
+    from yolov4tpu.train import (Trainer, _make_grad_and_metrics,
+                                 chunk_batch, pad_mask_batch)
+
+    cfg = dataclasses.replace(CFG, grad_accum_steps=2)
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    batch = _synthetic_batch(rng, bs=5)
+    # Heterogeneous samples so mis-weighted combines cannot pass by
+    # symmetry.
+    img = np.array(batch["image"])
+    for i in range(5):
+        img[i] *= 0.3 + 0.2 * i
+    batch["image"] = jnp.asarray(img)
+
+    core = jax.jit(_make_grad_and_metrics(C, cfg))
+    padded = pad_mask_batch(batch, 8)
+    micros = chunk_batch(padded, 2)  # (2, 4, ...)
+    piece = lambda mu, lo, hi: jax.tree.map(  # noqa: E731
+        lambda x: x[mu, lo:hi], micros)
+    g00, st00, m00 = core(params, state, piece(0, 0, 2))
+    g10, st10, m10 = core(params, state, piece(0, 2, 4))
+    g01, st01, m01 = core(params, st00, piece(1, 0, 2))
+    g11, st11, m11 = core(params, st10, piece(1, 2, 4))  # all-pad piece
+
+    wavg = lambda a, b, c: (2.0 * a + 2.0 * b + 1.0 * c) / 5.0  # noqa: E731
+    g_expect = jax.tree.map(wavg, g00, g10, g01)
+    st_expect = jax.tree.map(lambda a, b: (3.0 * a + 2.0 * b) / 5.0,
+                             st01, st10)
+    loss_expect = wavg(m00["loss"], m10["loss"], m01["loss"])
+
+    opt = optax.sgd(0.1)  # linear in grads — see the non-accum mesh test
+    updates, _ = opt.update(g_expect, opt.init(params), params)
+    p_expect = optax.apply_updates(params, updates)
+
+    tr = Trainer(cfg, C, params, state, mesh=make_mesh(2), optimizer=opt)
+    metrics = tr.train_step(batch)
+
+    assert float(metrics["loss"]) == pytest.approx(float(loss_expect),
+                                                   rel=1e-5)
+
+    def leaf_close(got, want, tol):
+        got, want = np.asarray(got), np.asarray(want)
+        scale = max(float(np.abs(want).max()), 1e-3)
+        return float(np.abs(got - want).max()) <= tol * scale
+
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(p_expect)):
+        assert leaf_close(a, b, 1e-3)
+    for a, b in zip(jax.tree.leaves(tr.state), jax.tree.leaves(st_expect)):
+        assert leaf_close(a, b, 1e-3)
+
+    # Discrimination guards: the pre-fix (global-count) semantics must be
+    # rejected by the same criteria.
+    loss_buggy = (3.0 / 5.0) * (4 * m00["loss"] + m01["loss"]) / 5.0 \
+        + (2.0 / 5.0) * (4 * m10["loss"] + m11["loss"]) / 5.0
+    assert abs(float(loss_expect) - float(loss_buggy)) \
+        > 1e-4 * abs(float(loss_expect)), "loss check lost discrimination"
+    st_buggy = jax.tree.map(lambda a, b: (3.0 * a + 2.0 * b) / 5.0,
+                            st01, st11)
+    mismatch = any(
+        not leaf_close(a, b, 1e-3)
+        for a, b in zip(jax.tree.leaves(st_expect),
+                        jax.tree.leaves(st_buggy)))
+    assert mismatch, "state check lost discrimination power"
+
+
 def test_fit_zero_step_epoch_raises():
     """An epoch that runs ZERO optimizer steps must raise, not record loss
     0.0 and checkpoint an untrained model.  Since round 4 every ragged tail

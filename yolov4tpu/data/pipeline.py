@@ -81,9 +81,12 @@ def read_image_rgb(img_path: str, native_decode: bool = True) -> np.ndarray:
 
     Decodes JPEGs through the native libjpeg path when available (releases
     the GIL for the whole decode — the dominant host cost — so threaded
-    workers scale with cores; bit-identical to cv2's decode, both are
-    libjpeg-turbo).  Everything else (PNG, no toolchain) falls back to
-    cv2.imread + BGR->RGB (reference utils.py:192-194).
+    workers scale with cores; bit-identical to cv2's decode for plain
+    JPEGs, both are libjpeg-turbo).  EXIF-rotated JPEGs (orientation tag
+    != 1, which cv2.imread auto-applies) are detected in the native probe
+    and routed here to cv2 so image/box geometry stays consistent.
+    Everything else (PNG, no toolchain) also falls back to cv2.imread +
+    BGR->RGB (reference utils.py:192-194).
     """
     if native_decode:
         from .. import native
@@ -297,14 +300,40 @@ class DataGenerator:
         # gets its own Generator seeded from ONE sequential draw of
         # self.rng, so batch content is a function of the generator seed
         # alone — not of worker count or thread scheduling.
-        workers = (config.num_workers if config.num_workers is not None
-                   else (os.cpu_count() or 1))
+        self._workers = (config.num_workers if config.num_workers is not None
+                         else (os.cpu_count() or 1))
+        # Pool is created lazily on first parallel batch and shut down by
+        # close() / context exit / garbage collection (weakref.finalize) —
+        # generators are cheap to construct and must not each pin
+        # cpu_count threads for the process lifetime.
         self._pool = None
-        if workers > 1:
-            import concurrent.futures
-            self._pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=workers, thread_name_prefix="yolodata")
+        self._pool_finalizer = None
         self.on_epoch_end()
+
+    def _get_pool(self):
+        if self._pool is None and self._workers > 1:
+            import concurrent.futures
+            import weakref
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=self._workers, thread_name_prefix="yolodata")
+            self._pool_finalizer = weakref.finalize(
+                self, self._pool.shutdown, wait=False)
+        return self._pool
+
+    def close(self):
+        """Shut down the worker pool (idempotent).  Also runs on GC and
+        via context-manager exit."""
+        if self._pool_finalizer is not None:
+            self._pool_finalizer()
+            self._pool_finalizer = None
+        self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __len__(self) -> int:
         return int(np.ceil(len(self.annotation_lines) / self.batch_size))
@@ -411,12 +440,13 @@ class DataGenerator:
             return self._get_batch_native(lines, seeds)
         X = np.empty((n, *self.target_img_size), np.float32)
         y_bbox = np.empty((n, self.max_boxes, 5), np.float32)
-        if self._pool is not None and n > 1:
+        pool = self._get_pool() if n > 1 else None
+        if pool is not None:
             # Augmented / letterbox batches parallelize per-sample: decode
             # (native libjpeg when available), resize, jitter, mosaic and
             # flip all run inside the workers — augmentation no longer
             # forfeits host parallelism (round-3 gap).
-            results = self._pool.map(
+            results = pool.map(
                 lambda args: self.get_data(args[0],
                                            np.random.default_rng(args[1])),
                 zip(lines, seeds))
@@ -469,6 +499,10 @@ def prefetch(generator: DataGenerator, n_prefetch: int = 2,
     """
     q: "queue.Queue" = queue.Queue(maxsize=n_prefetch)
     stop = threading.Event()
+    # A producer-thread failure (decode error, device OOM inside
+    # transform=device_put) must SURFACE in the consumer, not silently
+    # truncate the epoch: capture it and re-raise at the iterator.
+    failure: list = []
 
     def producer():
         epoch = 0
@@ -481,6 +515,8 @@ def prefetch(generator: DataGenerator, n_prefetch: int = 2,
                     q.put(b if transform is None else transform(b))
                 generator.on_epoch_end()
                 epoch += 1
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            failure.append(e)
         finally:
             q.put(None)
 
@@ -490,6 +526,8 @@ def prefetch(generator: DataGenerator, n_prefetch: int = 2,
         while True:
             item = q.get()
             if item is None:
+                if failure:
+                    raise failure[0]
                 break
             yield item
     finally:

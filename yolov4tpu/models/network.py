@@ -259,10 +259,10 @@ class _ApplyOps:
                     # through mean/var — but removes the stat-gradient
                     # chain from every conv's backward (~+10% train step,
                     # measured 212->237 img/s at 416^2 b16 on v5e).
-                    # A/B-tested 2026-08-19: diverges to NaN at peak LR
-                    # 2e-3 where the default converges (config.py:90,
-                    # PERF_NOTES "bn_stats_gradient A/B") — unsafe at
-                    # aggressive LRs.
+                    # A/B-tested 2026-08-19: NaN at peak LR 2e-3, stalled
+                    # (mAP 0.002) at 5e-4 where the default reaches 0.88
+                    # — experiment-only; see config.py and PERF_NOTES
+                    # "bn_stats_gradient A/B".
                     mean = lax.stop_gradient(mean)
                     mean2 = lax.stop_gradient(mean2)
                 var = jnp.maximum(mean2 - lax.square(mean), 0.0)

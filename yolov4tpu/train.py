@@ -256,7 +256,7 @@ def _accumulated(grad_and_metrics, accum: int, mesh_axes=()):
         has_mask = isinstance(batch, dict) and "mask" in batch
 
         def body(carry, micro):
-            gsum, wsum, st = carry
+            gsum, wsum, wsum_local, st = carry
             g, new_st, m = grad_and_metrics(params, st, micro)
             # Micro-batches may carry unequal VALID counts (a padded ragged
             # tail): weight each micro-grad (a mean over its own valid
@@ -265,38 +265,50 @@ def _accumulated(grad_and_metrics, accum: int, mesh_axes=()):
             # the weights are equal and this is the plain average.  On a
             # mesh the micro-grad is already the implicit-psum global
             # weighted mean (the core pre-scales the loss — see
-            # _make_grad_and_metrics), so the weight must be the GLOBAL
-            # valid count of the micro-round, which is also mesh-invariant
-            # (scaling the invariant gsum by a device-varying weight would
-            # break shard_map's VMA typing).
+            # _make_grad_and_metrics), so the GRADIENT weight must be the
+            # GLOBAL valid count of the micro-round, which is also
+            # mesh-invariant (scaling the invariant gsum by a
+            # device-varying weight would break shard_map's VMA typing).
+            # BN state and metrics are the opposite: they are LOCAL
+            # (device-varying) values that the mesh step later combines
+            # weighted by per-shard totals, so they must be guarded/
+            # weighted by the LOCAL count — using the global count kept a
+            # shard's throwaway all-padding BN stats whenever any OTHER
+            # shard had valid samples, and double-counted metrics toward
+            # whichever micro-rounds were globally fuller.
             if has_mask:
-                w = jnp.sum(micro["mask"], dtype=jnp.float32)
-                if mesh_axes:
-                    w = lax.psum(w, tuple(mesh_axes))
+                w_local = jnp.sum(micro["mask"], dtype=jnp.float32)
+                w = (lax.psum(w_local, tuple(mesh_axes)) if mesh_axes
+                     else w_local)
             else:
-                w = jnp.float32(1.0)
+                w_local = w = jnp.float32(1.0)
             gsum = jax.tree.map(lambda a, b: a + w * b, gsum, g)
             if has_mask:
-                # An all-padding micro-batch must not advance the BN moving
-                # statistics (its masked batch stats are defined-zero).
+                # An all-padding micro-batch (on THIS shard) must not
+                # advance the BN moving statistics (its masked batch stats
+                # are defined throwaway values).
                 new_st = jax.tree.map(
-                    lambda n, o: jnp.where(w > 0, n, o), new_st, st)
-            return ((gsum, wsum + w, new_st),
-                    jax.tree.map(lambda x: x * w, m))
+                    lambda n, o: jnp.where(w_local > 0, n, o), new_st, st)
+            return ((gsum, wsum + w, wsum_local + w_local, new_st),
+                    jax.tree.map(lambda x: x * w_local, m))
 
-        # Only the BN-state half of the carry becomes device-varying (its
-        # updates come from the sharded batch); the gradient sum stays
-        # invariant (each micro-grad is already shard_map-psummed), and
-        # pcasting it too would make the optimizer update varying and break
-        # the replicated out_specs.
-        state0 = (lax.pcast(state, tuple(mesh_axes), to="varying")
-                  if mesh_axes else state)
+        # Only the BN-state and local-count halves of the carry become
+        # device-varying (their updates come from the sharded batch); the
+        # gradient sum stays invariant (each micro-grad is already
+        # shard_map-psummed), and pcasting it too would make the optimizer
+        # update varying and break the replicated out_specs.
+        if mesh_axes:
+            state0 = lax.pcast(state, tuple(mesh_axes), to="varying")
+            wl0 = lax.pcast(jnp.float32(0.0), tuple(mesh_axes),
+                            to="varying")
+        else:
+            state0, wl0 = state, jnp.float32(0.0)
         init = (jax.tree.map(jnp.zeros_like, params), jnp.float32(0.0),
-                state0)
-        (gsum, wsum, new_state), ms = lax.scan(body, init, batch)
-        wsum = jnp.maximum(wsum, 1e-6)
-        grads = jax.tree.map(lambda g: g / wsum, gsum)
-        metrics = jax.tree.map(lambda x: jnp.sum(x, axis=0) / wsum, ms)
+                wl0, state0)
+        (gsum, wsum, wsum_local, new_state), ms = lax.scan(body, init, batch)
+        grads = jax.tree.map(lambda g: g / jnp.maximum(wsum, 1e-6), gsum)
+        metrics = jax.tree.map(
+            lambda x: jnp.sum(x, axis=0) / jnp.maximum(wsum_local, 1e-6), ms)
         return grads, new_state, metrics
 
     return accumulated
