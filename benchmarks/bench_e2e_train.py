@@ -21,6 +21,13 @@ Usage: python benchmarks/bench_e2e_train.py [--img 416] [--batch 64]
          [--n 256] [--epochs 2] [--shallow]
 Prints one JSON line.  Sized for the TPU; --shallow (csp_repeats 1,1,1,1,1)
 + --img 96 runs quickly on CPU for smoke testing.
+
+CAVEAT (dev sandbox): through the axon tunnel the per-batch H2D copy
+(~200 MB at 416^2 b64 f32) rides a ~100 MB/s link, so the e2e variants
+measure the TUNNEL (~25 img/s), not the host pipeline — on a real TPU
+host the same copy is multi-GB/s PCIe/DMA.  Interpret 416^2 e2e numbers
+from this sandbox as a lower bound only; the host-pipeline capability
+evidence is bench_data.py on the actual TPU host (BENCH extras).
 """
 
 import argparse
@@ -103,7 +110,13 @@ def measure(img=416, batch=64, n=256, epochs=2, shallow=False,
         boxes[:, 0] = [20, 25, img // 2, img // 2, 1]
         labels, xywh = preprocess_true_boxes(boxes, (img, img),
                                              cfg.anchors_flat, C)
-        b = {"image": imgs, "labels": list(labels), "boxes": xywh}
+        # Place ONCE: the fused step donates params/state/opt, not the
+        # batch, so device-resident arrays stay valid across iterations.
+        # Passing host numpy each iteration re-uploads ~200 MB/step and
+        # measures the H2D link, not the device (seen: 20.5 img/s through
+        # the ~100 MB/s axon tunnel vs ~236 img/s true device throughput).
+        b = jax.device_put({"image": imgs, "labels": list(labels),
+                            "boxes": xywh})
         float(tr.train_step(b)["loss"])  # compile
         iters = max(4, n // batch)
         t0 = time.perf_counter()

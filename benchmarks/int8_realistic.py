@@ -124,6 +124,12 @@ def main():
                     help=">4 uses shape x hue identities (max 25); 21+ is "
                          "the operating-point accuracy run")
     ap.add_argument("--max-objects", type=int, default=5)
+    ap.add_argument("--score-threshold", type=float, default=0.3,
+                    help="export/NMS score threshold.  0.3 is the "
+                         "reference operating default; mAP evaluation "
+                         "conventionally exports at a LOW threshold "
+                         "(0.05) so recall at low confidence counts — "
+                         "use that for operating-point accuracy runs")
     ap.add_argument("--lr", type=float, default=2e-3,
                     help="cosine-annealing peak LR (A/B runs may need a "
                          "lower peak: bn_stats_gradient=off NaNs at 2e-3)")
@@ -170,7 +176,8 @@ def main():
     side = args.img
     cfg = YoloConfig(img_size=(side, side, 3), batch_size=args.batch,
                      csp_repeats=(1, 1, 1, 1, 1), learning_rate=args.lr,
-                     compute_dtype="bfloat16", score_threshold=0.3,
+                     compute_dtype="bfloat16",
+                     score_threshold=args.score_threshold,
                      nms_pre_top_k=128,
                      bn_stats_gradient=args.bn_stats_gradient == "on")
     model = Yolov4(weight_path=None, class_name_path=f"{tmp}/classes.txt",
@@ -236,6 +243,7 @@ def main():
 
     out = {"steps": args.steps, "n_train": n_train, "n_val": n_val,
            "img": side, "num_classes": args.num_classes,
+           "score_threshold": args.score_threshold,
            "bn_stats_gradient": args.bn_stats_gradient == "on",
            "final_loss": round(float(m["loss"]), 3)}
     res_f = eval_variant("float")

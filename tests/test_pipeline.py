@@ -307,6 +307,48 @@ def test_generator_pool_close_idempotent(dataset):
     gen.close()  # idempotent
 
 
+def test_transfer_uint8_wire_format(dataset):
+    """config.transfer_uint8 ships uint8 image batches whose device-side
+    /255 reproduces the float batch EXACTLY on the plain-resize path (the
+    float values are u8/255 to begin with — cv2 resize quantizes through
+    uint8 before the host /255)."""
+    import dataclasses
+
+    cfg8 = dataclasses.replace(CFG, transfer_uint8=True)
+    # Python path (use_native=False): cv2 resize quantizes through uint8
+    # before the host /255, so the u8 wire round-trips EXACTLY.
+    gf = DataGenerator(dataset["lines"], dataset["classes"],
+                       dataset["img_dir"], config=CFG, seed=0,
+                       shuffle=False, use_native=False)
+    gu = DataGenerator(dataset["lines"], dataset["classes"],
+                       dataset["img_dir"], config=cfg8, seed=0,
+                       shuffle=False, use_native=False)
+    bf, bu = gf.get_batch(0), gu.get_batch(0)
+    assert bu["image"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        bu["image"].astype(np.float32) / 255.0, bf["image"])
+    # labels/boxes are unaffected by the wire format
+    np.testing.assert_array_equal(bu["boxes"], bf["boxes"])
+    for lu, lf in zip(bu["labels"], bf["labels"]):
+        np.testing.assert_array_equal(lu, lf)
+
+    # Native fused path: the C++ resize emits continuous f32, so the u8
+    # wire re-quantizes — bounded by half a quantization step.
+    from yolov4tpu import native
+    if native.available() and native.has_jpeg():
+        gfn = DataGenerator(dataset["lines"], dataset["classes"],
+                            dataset["img_dir"], config=CFG, seed=0,
+                            shuffle=False, use_native=True)
+        gun = DataGenerator(dataset["lines"], dataset["classes"],
+                            dataset["img_dir"], config=cfg8, seed=0,
+                            shuffle=False, use_native=True)
+        bfn, bun = gfn.get_batch(0), gun.get_batch(0)
+        assert bun["image"].dtype == np.uint8
+        err = np.abs(bun["image"].astype(np.float32) / 255.0
+                     - bfn["image"]).max()
+        assert err <= 0.5 / 255.0 + 1e-6, err
+
+
 def test_read_annotation_lines_split(dataset):
     lines = read_annotation_lines(dataset["anno"])
     assert len(lines) == 5

@@ -549,6 +549,43 @@ def test_mesh_masked_step_weights_by_valid_count(rng):
     assert mismatch, "test lost its discrimination power"
 
 
+def test_uint8_batch_matches_float(rng):
+    """A uint8 image batch (transfer_uint8 wire format) steps bit-identically
+    to the same values shipped as float32 — the core normalizes on-device.
+    Covers the train core and the validation step."""
+    from yolov4tpu.train import _make_grad_and_metrics, make_eval_step
+
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    batch = _synthetic_batch(rng, bs=2)
+    u8 = np.clip(np.rint(np.array(batch["image"]) * 255), 0, 255
+                 ).astype(np.uint8)
+    bf = dict(batch, image=jnp.asarray(u8.astype(np.float32) / 255.0))
+    bu = dict(batch, image=jnp.asarray(u8))
+
+    core = jax.jit(_make_grad_and_metrics(C, CFG))
+    gf, stf, mf = core(params, state, bf)
+    gu, stu, mu = core(params, state, bu)
+    # Mathematically identical inputs, but the u8 program fuses the /255
+    # into the graph, so the two COMPILED programs reassociate (~3e-6 on
+    # the loss) — and this untrained 20+-conv net amplifies 1e-6 input
+    # noise >1000x in individual gradient elements (see
+    # test_masked_step_matches_trimmed).  Loss/BN-state are tight; the
+    # gradient is bounded globally, not elementwise.
+    assert float(mf["loss"]) == pytest.approx(float(mu["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(stf), jax.tree.leaves(stu)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-3)
+        assert float(np.abs(a - b).max()) <= 1e-3 * scale
+    flat_f = jnp.concatenate([x.ravel() for x in jax.tree.leaves(gf)])
+    flat_u = jnp.concatenate([x.ravel() for x in jax.tree.leaves(gu)])
+    rel = float(jnp.linalg.norm(flat_f - flat_u) / jnp.linalg.norm(flat_f))
+    assert rel < 0.20, rel
+
+    ev = make_eval_step(C, CFG)
+    assert float(ev(params, state, bf)) == pytest.approx(
+        float(ev(params, state, bu)), rel=1e-4)
+
+
 def test_mesh_accum_masked_weights_local_counts(rng):
     """Mesh + grad-accum + ragged tail: BN state and metrics must weight by
     LOCAL per-shard valid counts, gradients by GLOBAL micro-round counts.

@@ -77,6 +77,21 @@ class YoloConfig:
     # shapes key off each trace's static image shape.
     encode_on_device: bool = False
 
+    # Ship images to the device as uint8 and normalize (/255) INSIDE the
+    # jitted step instead of sending host-normalized float32: 4x less
+    # host->device traffic per batch (with encode_on_device, a 416^2 b64
+    # batch drops ~200 MB -> ~33 MB on the wire).  Value-preserving: the
+    # python path's cv2-resize output is uint8-quantized before the /255
+    # anyway, so device-side /255 feeds the network the same values (the
+    # u8 program fuses the /255, so compiled-program reassociation can
+    # differ by ~1e-6 relative; the native fused path re-quantizes its
+    # continuous f32 resize, <=1/510 per pixel).
+    # Augmented (color-jittered/mosaic) samples re-quantize to uint8 — a
+    # <=1/510 perturbation, below augmentation noise.  The train step
+    # auto-detects the dtype, so hand-built uint8 batches work without
+    # this flag; it only switches what DataGenerator emits.
+    transfer_uint8: bool = False
+
     # Flat-vector Adam (train.fused_adam): one raveled moment buffer instead
     # of ~330 leaf-wise kernels.  2x faster as a standalone update, but OFF
     # by default: inside the full train step the ravel is a barrier that

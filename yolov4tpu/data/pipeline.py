@@ -390,6 +390,17 @@ class DataGenerator:
         return img, box_data
 
     # -- batching ----------------------------------------------------------
+
+    def _image_wire(self, X: np.ndarray) -> np.ndarray:
+        """Wire format for the image batch: float32 [0,1] by default, or
+        uint8 when config.transfer_uint8 (the jitted step normalizes
+        on-device — 4x less H2D traffic).  For plain resized samples the
+        round trip is exact (the f32 values ARE u8/255); color-jittered or
+        native-resized samples re-quantize with <=1/510 error."""
+        if not self.config.transfer_uint8:
+            return X
+        return np.clip(np.rint(X * 255.0), 0, 255).astype(np.uint8)
+
     def _get_batch_native(self, lines: Sequence[str],
                           seeds: np.ndarray) -> dict:
         """Fully-native fused path: file read + JPEG decode (+ DCT-domain
@@ -409,6 +420,7 @@ class DataGenerator:
         X, y_bbox = native.ingest_batch(paths, y_bbox,
                                         self.target_img_size[:2],
                                         dct_scale=self.config.fast_decode)
+        X = self._image_wire(X)
         if self.config.encode_on_device:
             return {"image": X, "raw_boxes": y_bbox}
         y_tensor, y_true_boxes_xywh = native.encode_labels_batch(
@@ -456,6 +468,7 @@ class DataGenerator:
             for i, line in enumerate(lines):
                 X[i], y_bbox[i] = self.get_data(
                     line, np.random.default_rng(seeds[i]))
+        X = self._image_wire(X)
         if self.config.encode_on_device:
             # Ship raw boxes; the jitted train step encodes the grids
             # on-accelerator (train step + data.encode.encode_labels_jax).

@@ -171,6 +171,13 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig,
                      else jnp.float32)
 
     def grad_and_metrics(params, state, batch):
+        if batch["image"].dtype == jnp.uint8:
+            # uint8 wire format (YoloConfig.transfer_uint8, or any caller
+            # shipping raw decoded bytes): normalize on-device — 4x less
+            # H2D traffic, bit-identical to a host-side /255 of the same
+            # uint8 raster.
+            batch = dict(batch,
+                         image=batch["image"].astype(jnp.float32) / 255.0)
         batch = _maybe_encode_on_device(batch, config, num_classes)
         # Optional (B,) 0/1 validity mask ("mask" key): padded samples drop
         # out of loss means AND BN batch statistics, so a ragged batch
@@ -561,6 +568,9 @@ def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
     anchors = config.anchors_grouped
 
     def step(params, state, batch):
+        if batch["image"].dtype == jnp.uint8:
+            batch = dict(batch,
+                         image=batch["image"].astype(jnp.float32) / 255.0)
         batch = _maybe_encode_on_device(batch, config, num_classes)
         outs, _ = network.apply(params, state, batch["image"], num_classes,
                                 train=False, csp_repeats=config.csp_repeats)
