@@ -89,6 +89,7 @@ _HEAVY = {
     "test_train_step_sat",
     "test_trainer_checkpoint_resume",
     "test_trainer_fit_smoke",
+    "test_trainer_fit_uint8_wire",
     "test_twophase_heterogeneous_matches_fused",
     "test_two_process_distributed_step",
 }

@@ -1080,6 +1080,36 @@ def test_trainer_fit_smoke(tmp_path, rng, setup):
     assert "val_loss" in history[-1]
 
 
+def test_trainer_fit_uint8_wire(tmp_path, rng):
+    """Trainer.fit over a uint8-wire DataGenerator: prefetch placement,
+    RAGGED-tail pad-and-mask (3 imgs at batch 2) and validation all run on
+    uint8 batches, normalized inside the jitted programs."""
+    import dataclasses
+
+    import cv2
+    from yolov4tpu.data.pipeline import DataGenerator
+
+    cfg8 = dataclasses.replace(CFG, transfer_uint8=True)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(3):  # 3 % batch_size(2) != 0 -> ragged u8 tail
+        img = (rng.uniform(0, 255, (80, 90, 3))).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"), img)
+        lines.append(f"im{i}.jpg 10,10,50,60,0 20,30,70,70,1\n")
+    classes = tmp_path / "classes.txt"
+    classes.write_text("a\nb\n")
+
+    gen = DataGenerator(lines, str(classes), str(img_dir), config=cfg8,
+                        seed=0, shuffle=False)
+    assert gen.get_batch(0)["image"].dtype == np.uint8
+    params, state, _ = network.init(C, img_size=64, seed=1)
+    trainer = Trainer(cfg8, C, params, state)
+    history = trainer.fit(gen, epochs=1, val_gen=gen, verbose=False)
+    assert np.isfinite(history[0]["loss"])
+    assert np.isfinite(history[0]["val_loss"])
+
+
 def test_trainer_checkpoint_resume(tmp_path, setup):
     """save_checkpoint/restore_checkpoint round-trips params, BN state and
     optimizer state; fit(resume_dir=...) auto-resumes at the next epoch."""
