@@ -69,11 +69,12 @@ def measure(img=416, batch=64, n=256, epochs=2, shallow=False,
         repeats = (1, 1, 1, 1, 1) if shallow else (1, 2, 8, 8, 4)
         C = 4
 
-        def run(encode_on_device, use_native, workers):
+        def run(encode_on_device, use_native, workers, uint8=False):
             cfg = YoloConfig(img_size=(img, img, 3), batch_size=batch,
                              compute_dtype="bfloat16",
                              csp_repeats=repeats,
                              encode_on_device=encode_on_device,
+                             transfer_uint8=uint8,
                              num_workers=workers)
             params, state, _ = network.init(C, img_size=img, seed=0,
                                             csp_repeats=repeats)
@@ -98,6 +99,9 @@ def measure(img=416, batch=64, n=256, epochs=2, shallow=False,
         out["python_host_encode_img_per_s"] = round(run(False, False, 1), 1)
         out["native_device_encode_img_per_s"] = round(
             run(True, True, os.cpu_count() or 1), 1)
+        # + uint8 wire: 4x less H2D per batch (u8 images + raw boxes).
+        out["uint8_device_encode_img_per_s"] = round(
+            run(True, True, os.cpu_count() or 1, uint8=True), 1)
 
         # Device-only ceiling: same step, resident data, no host work.
         cfg = YoloConfig(img_size=(img, img, 3), batch_size=batch,
