@@ -272,8 +272,10 @@ int exif_orientation(const uint8_t* d, size_t n) {
             return (v >= 1 && v <= 8) ? static_cast<int>(v) : 1;
           }
         }
+        return 1;  // Exif APP1 without an orientation tag in IFD0
       }
-      return 1;  // APP1 present without (parsable) orientation
+      // Non-Exif APP1 (XMP etc.): fall through and keep scanning — an
+      // Exif APP1 may legally follow it in the marker chain.
     }
     i += 2 + seg;
   }
@@ -419,6 +421,35 @@ int yolo_imread(const char* path, int min_h, int min_w, uint8_t* out,
 #else
   return decode_jpeg_file(path, min_h, min_w, out,
                           static_cast<size_t>(cap), oh, ow, fh, fw);
+#endif
+}
+
+// In-memory variants of probe/decode: the caller reads the file bytes ONCE
+// (Python: np.fromfile) and runs header probe + pixel decode from the same
+// buffer — halves per-image disk I/O vs the path-based pair above, which
+// each slurp the file.
+int yolo_imread_mem_probe(const uint8_t* data, long len, int min_h,
+                          int min_w, int* oh, int* ow, int* fh, int* fw) {
+#if defined(YOLO_NO_JPEG)
+  (void)data; (void)len; (void)min_h; (void)min_w; (void)oh; (void)ow;
+  (void)fh; (void)fw;
+  return -100;
+#else
+  return decode_jpeg_mem(data, static_cast<size_t>(len), min_h, min_w,
+                         nullptr, 0, oh, ow, fh, fw);
+#endif
+}
+
+int yolo_imread_mem(const uint8_t* data, long len, int min_h, int min_w,
+                    uint8_t* out, long cap, int* oh, int* ow, int* fh,
+                    int* fw) {
+#if defined(YOLO_NO_JPEG)
+  (void)data; (void)len; (void)min_h; (void)min_w; (void)out; (void)cap;
+  (void)oh; (void)ow; (void)fh; (void)fw;
+  return -100;
+#else
+  return decode_jpeg_mem(data, static_cast<size_t>(len), min_h, min_w, out,
+                         static_cast<size_t>(cap), oh, ow, fh, fw);
 #endif
 }
 

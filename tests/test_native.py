@@ -197,3 +197,51 @@ def test_exif_rotated_jpeg_routes_to_cv2(tmp_path, rng):
     # raster for EXIF files via its cv2 fallback.
     from yolov4tpu.data.pipeline import read_image_rgb
     assert read_image_rgb(rotated).shape[:2] == (90, 60)
+
+
+def test_exif_after_xmp_app1_still_detected(tmp_path, rng):
+    """Real-world JPEGs (Adobe tools, many phones) put an XMP APP1 BEFORE
+    the Exif APP1.  The orientation scanner must skip non-Exif APP1
+    segments and keep walking the marker chain — aborting at the XMP
+    segment would mis-route a rotated file onto the raw native decode
+    (unrotated pixels against rotated-frame boxes)."""
+    cv2 = pytest.importorskip("cv2")
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    img = rng.integers(0, 256, (60, 90, 3), dtype=np.uint8)
+    plain = str(tmp_path / "plain.jpg")
+    cv2.imwrite(plain, img)
+    raw = open(plain, "rb").read()
+
+    def with_xmp_first(jpeg: bytes) -> bytes:
+        xmp_payload = b"http://ns.adobe.com/xap/1.0/\x00" + b"<x:xmpmeta/>"
+        xmp = (b"\xff\xe1" + (len(xmp_payload) + 2).to_bytes(2, "big")
+               + xmp_payload)
+        assert jpeg[:2] == b"\xff\xd8"
+        return jpeg[:2] + xmp + jpeg[2:]
+
+    rotated = str(tmp_path / "xmp_rot6.jpg")
+    open(rotated, "wb").write(
+        with_xmp_first(_insert_exif_orientation(raw, 6)))
+    upright = str(tmp_path / "xmp_or1.jpg")
+    open(upright, "wb").write(
+        with_xmp_first(_insert_exif_orientation(raw, 1)))
+
+    # Orientation=6 behind an XMP segment: native must refuse (cv2 rotates).
+    assert cv2.imread(rotated).shape[:2] == (90, 60)
+    assert native.imread(rotated) is None
+    # Orientation=1 behind an XMP segment: native path stays usable.
+    nat = native.imread(upright)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, cv2.imread(upright)[:, :, ::-1])
+
+    # Batch ingest must route the rotated file to its cv2 fallback too.
+    boxes = np.zeros((1, 1, 5), np.float32)
+    boxes[0, 0] = [9, 6, 45, 30, 1]  # authored in displayed 90x60 frame
+    imgs, ob = native.ingest_batch([rotated], boxes, (48, 48))
+    ref_rot = cv2.resize(cv2.imread(rotated)[:, :, ::-1],
+                         (48, 48)).astype(np.float32) / 255.0
+    assert np.abs(imgs[0] - ref_rot).max() < 2.5 / 255.0
+    np.testing.assert_allclose(
+        ob[0, 0, :4],
+        [9 * 48 / 60, 6 * 48 / 90, 45 * 48 / 60, 30 * 48 / 90], rtol=1e-5)

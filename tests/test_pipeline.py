@@ -182,6 +182,10 @@ def test_encode_on_device_composes_with_multiscale(dataset):
         assert b["raw_boxes"].shape[-1] == 5
         assert b["raw_boxes"][..., :4].max() <= s
         sizes.add(s)
+    # interval=1 over {32, 64, 96} with seed 3 must actually re-draw — a
+    # single size here means the multi-scale half of the composition is
+    # dead and this test would pass vacuously.
+    assert len(sizes) > 1, sizes
 
 
 def test_generator_hflip_jitter_batches(dataset):

@@ -90,6 +90,12 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.yolo_imread.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int, u8p,
                 ctypes.c_long, i32p, i32p, i32p, i32p]
+            lib.yolo_imread_mem_probe.argtypes = [
+                u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                i32p, i32p, i32p, i32p]
+            lib.yolo_imread_mem.argtypes = [
+                u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, u8p,
+                ctypes.c_long, i32p, i32p, i32p, i32p]
             lib.yolo_ingest_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, f32p, f32p,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -134,17 +140,27 @@ def imread(path: str, min_hw: Optional[Tuple[int, int]] = None
     if lib is None or not _jpeg_api:
         return None
     mh, mw = (int(min_hw[0]), int(min_hw[1])) if min_hw else (0, 0)
+    # One disk read; header probe + pixel decode both run from these bytes
+    # (the path-based yolo_imread pair would slurp the file twice).
+    try:
+        buf = np.fromfile(path, np.uint8)
+    except OSError:
+        return None
+    if buf.size < 2 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None  # not a JPEG: caller's cv2 fallback handles it
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     oh = ctypes.c_int()
     ow = ctypes.c_int()
     fh = ctypes.c_int()
     fw = ctypes.c_int()
-    p = path.encode()
-    if lib.yolo_imread_probe(p, mh, mw, ctypes.byref(oh), ctypes.byref(ow),
-                             ctypes.byref(fh), ctypes.byref(fw)) != 0:
+    if lib.yolo_imread_mem_probe(bp, buf.nbytes, mh, mw, ctypes.byref(oh),
+                                 ctypes.byref(ow), ctypes.byref(fh),
+                                 ctypes.byref(fw)) != 0:
         return None
     out = np.empty((oh.value, ow.value, 3), np.uint8)
-    rc = lib.yolo_imread(
-        p, mh, mw, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    rc = lib.yolo_imread_mem(
+        bp, buf.nbytes, mh, mw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.nbytes, ctypes.byref(oh), ctypes.byref(ow), ctypes.byref(fh),
         ctypes.byref(fw))
     return out if rc == 0 else None
@@ -180,20 +196,21 @@ def ingest_batch(paths: Sequence[str], boxes: np.ndarray,
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     failed = np.nonzero(status != 0)[0]
     if len(failed):
+        # cv2-decode the stragglers, then resize+normalise+rescale them all
+        # in ONE fused assemble_batch call — on no-libjpeg builds or
+        # non-JPEG datasets every image lands here, and a per-image loop
+        # would forfeit the OpenMP batch path entirely.
         import cv2
+        rgbs = []
         for i in failed:
             img = cv2.imread(paths[i])
             if img is None:
                 raise FileNotFoundError(paths[i])
-            sh, sw = img.shape[:2]
-            rgb = np.ascontiguousarray(img[:, :, ::-1])
-            if lib is not None:
-                imgs[i] = resize_bilinear_batch([rgb], (dh, dw))[0]
-            else:
-                imgs[i] = (cv2.resize(rgb, (dw, dh)).astype(np.float32)
-                           / 255.0)
-            out_boxes[i, :, [0, 2]] = boxes[i, :, [0, 2]] * (dw / sw)
-            out_boxes[i, :, [1, 3]] = boxes[i, :, [1, 3]] * (dh / sh)
+            rgbs.append(np.ascontiguousarray(img[:, :, ::-1]))
+        f_imgs, f_boxes = assemble_batch(
+            rgbs, np.ascontiguousarray(boxes, np.float32)[failed], (dh, dw))
+        imgs[failed] = f_imgs
+        out_boxes[failed] = f_boxes
     return imgs, out_boxes
 
 

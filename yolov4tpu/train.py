@@ -642,9 +642,11 @@ class Trainer:
         re-placement of already-placed arrays is a no-op)."""
         b = next(iter(jax.tree.leaves(batch))).shape[0]
         if self.mesh is not None:
-            if b % (self.config.grad_accum_steps
-                    * self.mesh.devices.size) == 0 \
-                    and self.config.grad_accum_steps == 1:
+            # Only accum==1 batches are pre-placed: grad-accum batches stay
+            # on host because train_step reshapes them into micro-batches
+            # before sharding.
+            if self.config.grad_accum_steps == 1 \
+                    and b % self.mesh.devices.size == 0:
                 return self._place(batch)
             return batch
         if self.config.grad_accum_steps == 1 and aligned_batch(b):
