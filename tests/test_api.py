@@ -318,3 +318,80 @@ def test_quantize_validates_dataflow_eagerly(model, rng):
     imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
     with pytest.raises(ValueError, match="'int8' or 'bf16'"):
         model.quantize(calib_imgs=imgs, dataflow="int4")
+
+
+def test_predict_batch_uint8_wire(model, rng):
+    """A uint8 batch rides the uint8 wire: the jitted program normalizes
+    on-device and the detections match the classic float [0,1] contract on
+    the same raster values.  The two COMPILED programs differ (the u8 one
+    fuses the /255), so equality is toleranced, not bitwise — same caveat
+    as test_uint8_batch_matches_float on the train side."""
+    u8 = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    out_u8 = [np.asarray(o) for o in
+              model.predict_batch(u8, score_threshold=0.01)]
+    out_f32 = [np.asarray(o) for o in model.predict_batch(
+        u8.astype(np.float32) / 255.0, score_threshold=0.01)]
+    np.testing.assert_array_equal(out_u8[3], out_f32[3])  # valid counts
+    np.testing.assert_allclose(out_u8[0], out_f32[0], atol=1e-3)  # boxes
+    np.testing.assert_allclose(out_u8[1], out_f32[1], atol=1e-3)  # scores
+    np.testing.assert_array_equal(out_u8[2], out_f32[2])  # classes
+
+
+def test_predict_paths_uint8_wire_matches_float(model, tmp_path, rng):
+    """config.transfer_uint8 switches predict_paths and export_prediction
+    onto the uint8 wire; per-image DataFrames / pred txts must match the
+    float wire EXACTLY — the float path resizes in uint8 before dividing,
+    so shipping the resized uint8 raster and dividing on-device feeds the
+    network bit-identical values (only program reassociation can differ;
+    detections are compared at the reference's 2-decimal score print)."""
+    import dataclasses
+
+    import cv2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths, lines = [], []
+    for i in range(3):
+        p = str(img_dir / f"u{i}.jpg")
+        cv2.imwrite(p, rng.uniform(0, 255, (70, 100, 3)).astype(np.uint8))
+        paths.append(p)
+        lines.append(f"u{i}.jpg 5,5,30,30,0\n")
+    anno = tmp_path / "anno.txt"
+    anno.write_text("".join(lines))
+
+    float_stream = list(model.predict_paths(paths, bs=2,
+                                            score_threshold=0.01))
+    dirs_f = str(tmp_path / "pred_f")
+    model.export_prediction(str(anno), dirs_f, str(img_dir), bs=2,
+                            verbose=False)
+
+    cfg_save = model.config
+    model.config = dataclasses.replace(cfg_save, transfer_uint8=True)
+    try:
+        u8_stream = list(model.predict_paths(paths, bs=2,
+                                             score_threshold=0.01))
+        dirs_u = str(tmp_path / "pred_u")
+        model.export_prediction(str(anno), dirs_u, str(img_dir), bs=2,
+                                verbose=False)
+    finally:
+        model.config = cfg_save
+
+    for (pf, df), (pu, du) in zip(float_stream, u8_stream):
+        assert pf == pu
+        assert len(df) == len(du)
+        np.testing.assert_allclose(
+            df[["x1", "y1", "x2", "y2"]].values,
+            du[["x1", "y1", "x2", "y2"]].values, atol=1e-2)
+        assert list(df["class_name"]) == list(du["class_name"])
+    for i in range(3):
+        # Full-precision prints: compare numerically (the two compiled
+        # programs reassociate at ~1e-6), names exactly.
+        rows_f = [l.split() for l in open(
+            os.path.join(dirs_f, f"u{i}.txt")).read().splitlines()]
+        rows_u = [l.split() for l in open(
+            os.path.join(dirs_u, f"u{i}.txt")).read().splitlines()]
+        assert [r[0] for r in rows_f] == [r[0] for r in rows_u]
+        if rows_f:
+            np.testing.assert_allclose(
+                np.array([[float(v) for v in r[1:]] for r in rows_f]),
+                np.array([[float(v) for v in r[1:]] for r in rows_u]),
+                atol=1e-2)

@@ -72,6 +72,12 @@ def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
     @functools.partial(jax.jit, static_argnames=("iou_t", "score_t"),
                        **(jit_kw or {}))
     def infer_fn(folded, images, iou_t, score_t):
+        if images.dtype == jnp.uint8:
+            # uint8 wire format (see train.py grad_and_metrics): callers may
+            # ship raw resized uint8 rasters and normalize on-device — 4x
+            # less H2D traffic, bit-identical to a host-side /255 of the
+            # same raster (the float path resizes in uint8 BEFORE dividing).
+            images = images.astype(jnp.float32) / 255.0
         raws = _apply(folded, images, num_classes,
                       compute_dtype,
                       csp_repeats=cfg.csp_repeats,
@@ -209,6 +215,8 @@ class Yolov4:
 
         @functools.partial(jax.jit, **jit_kw)
         def raw_fn(folded, images):
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
             return _raw_apply(folded, images, num_classes,
                               self._compute_dtype,
                               csp_repeats=cfg.csp_repeats,
@@ -366,7 +374,12 @@ class Yolov4:
         iou_t = self.config.iou_threshold if iou_threshold is None else iou_threshold
         score_t = (self.config.score_threshold if score_threshold is None
                    else score_threshold)
-        imgs = jnp.asarray(imgs, jnp.float32)
+        # uint8 input rides the uint8 wire (4x less H2D; the jitted program
+        # normalizes on-device — see build_infer_fn); anything else is the
+        # classic float [0,1] contract.
+        imgs = jnp.asarray(imgs)
+        if imgs.dtype != jnp.uint8:
+            imgs = imgs.astype(jnp.float32)
         # Pad ragged batches (e.g. the tail of predict_paths /
         # export_prediction) to an XLA-aligned size: inference samples are
         # independent, so padding is exact — and it avoids both the
@@ -399,16 +412,24 @@ class Yolov4:
 
         img_paths = list(img_paths)
         h, w = self.img_size[:2]
+        # uint8 wire: ship resized uint8 rasters, /255 runs on-device
+        # (bit-identical — the float path resizes in uint8 BEFORE dividing).
+        # Letterbox keeps the float wire: its gray-pad compositing is float.
+        u8_wire = self.config.transfer_uint8 and not self.config.letterbox
 
         def load(paths):
-            imgs = np.zeros((bs, h, w, 3), np.float32)
+            imgs = np.zeros((bs, h, w, 3),
+                            np.uint8 if u8_wire else np.float32)
             raws, transforms = [], []
             for j, p in enumerate(paths):
                 raw = cv2.imread(p)
                 if raw is None:
                     raise FileNotFoundError(p)
                 raw = raw[:, :, ::-1]
-                imgs[j], t = self._preprocess_with_transform(raw)
+                if u8_wire:
+                    imgs[j], t = cv2.resize(np.asarray(raw), (w, h)), None
+                else:
+                    imgs[j], t = self._preprocess_with_transform(raw)
                 raws.append(raw)
                 transforms.append(t)
             return paths, imgs, raws, transforms
@@ -513,7 +534,8 @@ class Yolov4:
             lambda imgs: self.predict_batch(imgs), annotation_path,
             pred_folder_path, img_folder_path, self.img_size[:2],
             self.class_names, bs=bs, verbose=verbose,
-            letterbox=self.config.letterbox)
+            letterbox=self.config.letterbox,
+            transfer_uint8=self.config.transfer_uint8)
 
     def eval_map(self, gt_folder_path: str, pred_folder_path: str,
                  temp_json_folder_path: str, output_files_path: str,

@@ -89,7 +89,13 @@ class YoloConfig:
     # Augmented (color-jittered/mosaic) samples re-quantize to uint8 — a
     # <=1/510 perturbation, below augmentation noise.  The train step
     # auto-detects the dtype, so hand-built uint8 batches work without
-    # this flag; it only switches what DataGenerator emits.
+    # this flag; it switches what DataGenerator emits AND what the
+    # inference loaders ship (predict_paths / export_prediction send
+    # resized uint8 rasters — there the device-side /255 is bit-identical
+    # because the float path resizes in uint8 BEFORE dividing; letterbox
+    # keeps the float wire, its gray-pad compositing is float).
+    # predict_batch likewise auto-detects: pass a uint8 array, ride the
+    # uint8 wire.
     transfer_uint8: bool = False
 
     # Flat-vector Adam (train.fused_adam): one raveled moment buffer instead

@@ -82,12 +82,18 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                       pred_folder_path: str, img_folder_path: str,
                       target_img_size: Tuple[int, int],
                       class_names: Sequence[str], bs: int = 8,
-                      verbose: bool = True, letterbox: bool = False) -> None:
+                      verbose: bool = True, letterbox: bool = False,
+                      transfer_uint8: bool = False) -> None:
     """Run inference over all annotation images, write per-image pred txts
     (reference models.py:141-179) with boxes denormalised to original size.
 
     predict_batch_fn: (imgs float32 (B,H,W,3) in [0,1]) ->
         (boxes_norm (B,T,4), scores (B,T), classes (B,T), valid (B,)).
+
+    transfer_uint8: ship resized uint8 rasters instead of float32 (4x less
+    H2D; the jitted inference program normalizes on-device — bit-identical
+    because the float path resizes in uint8 BEFORE dividing).  Ignored
+    under letterbox, whose gray-pad compositing is float.
     """
     import cv2
     from tqdm import tqdm
@@ -98,9 +104,11 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                      for l in file if l.strip()]
 
     h, w = target_img_size
+    u8_wire = transfer_uint8 and not letterbox
 
     def load_batch(paths):
-        imgs = np.zeros((len(paths), h, w, 3), np.float32)
+        imgs = np.zeros((len(paths), h, w, 3),
+                        np.uint8 if u8_wire else np.float32)
         raw_shapes = []
         transforms = []
         for j, path in enumerate(paths):
@@ -121,6 +129,9 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                 imgs[j], _, t = letterbox_resize(img, (h, w),
                                                  np.zeros((0, 5), np.float32))
                 transforms.append(t)
+            elif u8_wire:
+                imgs[j] = cv2.resize(img, (w, h))
+                transforms.append(None)
             else:
                 imgs[j] = cv2.resize(img, (w, h)).astype(np.float32) / 255.0
                 transforms.append(None)
