@@ -26,7 +26,8 @@ def cmd_export(args):
     cfg = YoloConfig(compute_dtype="bfloat16" if args.bf16 else "float32")
     model = Yolov4(weight_path=args.weights, class_name_path=args.classes,
                    config=cfg)
-    serving.export_detector(model, args.out, batch_size=args.batch)
+    serving.export_detector(model, args.out, batch_size=args.batch,
+                            input_dtype="uint8" if args.uint8 else "float32")
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"exported {args.out} ({size_mb:.1f} MB, batch={args.batch})")
 
@@ -62,6 +63,9 @@ def main():
     e.add_argument("--out", required=True)
     e.add_argument("--batch", type=int, default=8)
     e.add_argument("--bf16", action="store_true")
+    e.add_argument("--uint8", action="store_true",
+                   help="artifact takes raw uint8 rasters (/255 baked in; "
+                        "4x less transfer per request)")
 
     r = sub.add_parser("run")
     r.add_argument("--artifact", required=True)

@@ -92,3 +92,27 @@ def test_export_quantized_model(tiny_model, tmp_path, rng):
             np.testing.assert_allclose(g, w, atol=1e-5)
     finally:
         tiny_model.dequantize()
+
+
+def test_export_uint8_input(tiny_model, tmp_path):
+    """input_dtype='uint8' bakes the on-device /255 into the artifact: the
+    exported program takes raw uint8 rasters and matches the float-input
+    artifact on the same values (uint8 wire for serving)."""
+    path = str(tmp_path / "det_u8.shlo")
+    # Low baked-in score threshold so random-init weights yield nonzero
+    # detections — an all-zero comparison would pass vacuously.
+    serving.export_detector(tiny_model, path, batch_size=2,
+                            input_dtype="uint8", score_threshold=0.01)
+    detect = serving.load_detector(path)
+    u8 = np.random.default_rng(1).integers(
+        0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    got = [np.asarray(o) for o in detect(u8)]
+    want = [np.asarray(o) for o in tiny_model.predict_batch(
+        u8.astype(np.float32) / 255.0, score_threshold=0.01)]
+    assert int(got[3].min()) > 0
+    np.testing.assert_array_equal(got[3], want[3])
+    for g, w in zip(got[:3], want[:3]):
+        np.testing.assert_allclose(g, w, atol=1e-3)
+    with pytest.raises(ValueError, match="float32.*uint8"):
+        serving.export_detector(tiny_model, str(tmp_path / "x.shlo"),
+                                input_dtype="int4")

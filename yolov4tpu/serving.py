@@ -31,11 +31,17 @@ from typing import Callable, Optional, Sequence
 def export_detector(model, path: str, batch_size: int = 1,
                     platforms: Optional[Sequence[str]] = None,
                     iou_threshold: Optional[float] = None,
-                    score_threshold: Optional[float] = None):
+                    score_threshold: Optional[float] = None,
+                    input_dtype: str = "float32"):
     """Serialize ``model``'s full inference pipeline to ``path``.
 
     model: a built ``yolov4tpu.Yolov4``.  Its BN-folded parameters are baked
     into the artifact as constants.  Returns the ``jax.export.Exported``.
+
+    input_dtype: "float32" ([0,1] images, the classic contract) or "uint8"
+    — bakes the /255 into the artifact so serving hosts ship raw resized
+    rasters, 4x less transfer per request (the uint8 wire; see
+    YoloConfig.transfer_uint8).
     """
     import jax
     import jax.numpy as jnp
@@ -72,8 +78,13 @@ def export_detector(model, path: str, batch_size: int = 1,
     def fn(images):
         return infer_fn(folded, images, iou_t, score_t)
 
+    if input_dtype not in ("float32", "uint8"):
+        raise ValueError(
+            f"input_dtype must be 'float32' or 'uint8', got {input_dtype!r}")
     h, w, c = model.img_size
-    spec = jax.ShapeDtypeStruct((batch_size, h, w, c), jnp.float32)
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, h, w, c),
+        jnp.uint8 if input_dtype == "uint8" else jnp.float32)
     exported = jax.export.export(jax.jit(fn),
                                  platforms=tuple(platforms))(spec)
     blob = exported.serialize()
