@@ -432,6 +432,13 @@ class Yolov4:
                     imgs[j], t = self._preprocess_with_transform(raw)
                 raws.append(raw)
                 transforms.append(t)
+            if self._mesh is None:
+                # Producer-thread device placement: batch N+1's async H2D
+                # copy rides under batch N's device compute (same
+                # double-buffering as Trainer._prefetch_place).  Mesh
+                # inference skips it — the jitted program's in_shardings
+                # governs placement there.
+                imgs = jax.device_put(imgs)
             return paths, imgs, raws, transforms
 
         chunks = [img_paths[s:s + bs] for s in range(0, len(img_paths), bs)]
@@ -535,7 +542,8 @@ class Yolov4:
             pred_folder_path, img_folder_path, self.img_size[:2],
             self.class_names, bs=bs, verbose=verbose,
             letterbox=self.config.letterbox,
-            transfer_uint8=self.config.transfer_uint8)
+            transfer_uint8=self.config.transfer_uint8,
+            place_fn=jax.device_put if self._mesh is None else None)
 
     def eval_map(self, gt_folder_path: str, pred_folder_path: str,
                  temp_json_folder_path: str, output_files_path: str,

@@ -83,7 +83,8 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                       target_img_size: Tuple[int, int],
                       class_names: Sequence[str], bs: int = 8,
                       verbose: bool = True, letterbox: bool = False,
-                      transfer_uint8: bool = False) -> None:
+                      transfer_uint8: bool = False,
+                      place_fn: Optional[Callable] = None) -> None:
     """Run inference over all annotation images, write per-image pred txts
     (reference models.py:141-179) with boxes denormalised to original size.
 
@@ -94,6 +95,11 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
     H2D; the jitted inference program normalizes on-device — bit-identical
     because the float path resizes in uint8 BEFORE dividing).  Ignored
     under letterbox, whose gray-pad compositing is float.
+
+    place_fn: optional device-placement callable (e.g. jax.device_put)
+    applied to each image batch INSIDE the producer thread, so batch N+1's
+    async H2D copy rides under batch N's device inference.  This module
+    stays jax-free; the Yolov4 facade passes it in.
     """
     import cv2
     from tqdm import tqdm
@@ -137,6 +143,8 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
                 transforms.append(None)
         if len(paths) < bs:  # keep the jitted shape static
             imgs = np.pad(imgs, ((0, bs - len(paths)), (0, 0), (0, 0), (0, 0)))
+        if place_fn is not None:
+            imgs = place_fn(imgs)
         return paths, imgs, raw_shapes, transforms
 
     # Host decode runs in a producer thread two batches deep, so cv2
