@@ -53,3 +53,42 @@ def test_annotate_video_max_frames(tiny_model, tmp_path):
     n = annotate_video(tiny_model, src, str(tmp_path / "o.mp4"), bs=4,
                        max_frames=5, verbose=False)
     assert n == 5
+
+
+def test_annotate_video_uint8_wire(tiny_model, tmp_path):
+    """transfer_uint8 routes video frames onto the uint8 wire — same frame
+    count out, and per-frame detections match the float wire (bit-identical
+    network inputs; see predict_paths)."""
+    import dataclasses
+
+    import cv2
+
+    src = str(tmp_path / "in3.mp4")
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (96, 64))
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        writer.write(rng.uniform(0, 255, (64, 96, 3)).astype(np.uint8))
+    writer.release()
+
+    n_f = annotate_video(tiny_model, src, str(tmp_path / "of.mp4"), bs=3,
+                         score_threshold=0.05, verbose=False)
+    cfg_save = tiny_model.config
+    tiny_model.config = dataclasses.replace(cfg_save, transfer_uint8=True)
+    try:
+        n_u = annotate_video(tiny_model, src, str(tmp_path / "ou.mp4"),
+                             bs=3, score_threshold=0.05, verbose=False)
+    finally:
+        tiny_model.config = cfg_save
+    assert n_f == n_u == 5
+    # The two annotated outputs should be visually identical; mp4 is lossy,
+    # so compare decoded frames with a generous-but-discriminating bound.
+    cf, cu = cv2.VideoCapture(str(tmp_path / "of.mp4")), \
+        cv2.VideoCapture(str(tmp_path / "ou.mp4"))
+    while True:
+        okf, ff = cf.read()
+        oku, fu = cu.read()
+        assert okf == oku
+        if not okf:
+            break
+        assert np.abs(ff.astype(np.int16) - fu.astype(np.int16)).mean() < 2.0
