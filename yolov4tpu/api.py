@@ -369,7 +369,8 @@ class Yolov4:
     def predict_batch(self, imgs: np.ndarray,
                       iou_threshold: Optional[float] = None,
                       score_threshold: Optional[float] = None):
-        """Batched inference: (B,H,W,3) float [0,1] ->
+        """Batched inference: (B,H,W,3) float [0,1] — or uint8 [0,255],
+        which rides the uint8 wire (on-device /255; 4x less H2D) ->
         (boxes_norm, scores, classes, valid_detections)."""
         iou_t = self.config.iou_threshold if iou_threshold is None else iou_threshold
         score_t = (self.config.score_threshold if score_threshold is None
