@@ -40,12 +40,12 @@ def cmd_run(args):
 
     detect = serving.load_detector(args.artifact)
     img = cv2.imread(args.image)[:, :, ::-1]
-    # The artifact is fixed-shape; probe its input spec via a first call on
-    # a 416-square (the export default) stretched image.
-    size = args.size
-    batch = args.batch
-    x = np.zeros((batch, size, size, 3), np.float32)
-    x[0] = cv2.resize(img, (size, size)).astype(np.float32) / 255.0
+    # The artifact carries its fixed input signature; build the batch from
+    # it (a uint8-wire artifact rejects float input and vice versa).
+    batch, h, w, _ = detect.input_shape
+    x = np.zeros(detect.input_shape, detect.input_dtype)
+    r = cv2.resize(img, (w, h))
+    x[0] = r if detect.input_dtype == np.uint8 else r.astype(np.float32) / 255.0
     boxes, scores, classes, valid = [np.asarray(o) for o in detect(x)]
     n = int(valid[0])
     print(f"{n} detections")
@@ -70,8 +70,6 @@ def main():
     r = sub.add_parser("run")
     r.add_argument("--artifact", required=True)
     r.add_argument("--image", required=True)
-    r.add_argument("--size", type=int, default=416)
-    r.add_argument("--batch", type=int, default=8)
 
     args = ap.parse_args()
     if args.cmd == "export":

@@ -104,6 +104,10 @@ def test_export_uint8_input(tiny_model, tmp_path):
     serving.export_detector(tiny_model, path, batch_size=2,
                             input_dtype="uint8", score_threshold=0.01)
     detect = serving.load_detector(path)
+    # The loaded callable carries the artifact's strict input signature —
+    # what examples/export_serving.py's run subcommand builds batches from.
+    assert detect.input_shape == (2, 64, 64, 3)
+    assert detect.input_dtype == np.uint8
     u8 = np.random.default_rng(1).integers(
         0, 256, (2, 64, 64, 3), dtype=np.uint8)
     got = [np.asarray(o) for o in detect(u8)]

@@ -215,8 +215,6 @@ class Yolov4:
 
         @functools.partial(jax.jit, **jit_kw)
         def raw_fn(folded, images):
-            if images.dtype == jnp.uint8:
-                images = images.astype(jnp.float32) / 255.0
             return _raw_apply(folded, images, num_classes,
                               self._compute_dtype,
                               csp_repeats=cfg.csp_repeats,
@@ -366,6 +364,41 @@ class Yolov4:
         h, w = self.img_size[:2]
         return cv2.resize(np.asarray(img), (w, h)) / 255.0, None
 
+    def _batch_from_rgb(self, raws, bs: int):
+        """Shared streaming-inference batch loader (predict_paths and
+        tools.video): decides the wire format and device placement in ONE
+        place.  Returns (imgs, per-image letterbox transforms).
+
+        - uint8 wire (config.transfer_uint8, non-letterbox): ships resized
+          uint8 rasters, /255 runs on-device — bit-identical, because the
+          float path resizes in uint8 BEFORE dividing.  Letterbox keeps the
+          float wire (its gray-pad compositing is float).
+        - Producer-thread device placement: callers run this inside their
+          prefetch thread, so batch N+1's async H2D copy rides under batch
+          N's device compute (Trainer._prefetch_place's double-buffering).
+          Mesh inference skips pre-placement — the jitted program's
+          in_shardings governs placement there.
+
+        evalmap.export_prediction deliberately does NOT share this helper:
+        it is a standalone jax-free module (placement injected via
+        place_fn) whose loader also tracks original shapes for
+        denormalisation — see its load_batch.
+        """
+        import cv2
+        h, w = self.img_size[:2]
+        u8_wire = self.config.transfer_uint8 and not self.config.letterbox
+        imgs = np.zeros((bs, h, w, 3), np.uint8 if u8_wire else np.float32)
+        transforms = []
+        for j, raw in enumerate(raws):
+            if u8_wire:
+                imgs[j], t = cv2.resize(np.asarray(raw), (w, h)), None
+            else:
+                imgs[j], t = self._preprocess_with_transform(raw)
+            transforms.append(t)
+        if self._mesh is None:
+            imgs = jax.device_put(imgs)
+        return imgs, transforms
+
     def predict_batch(self, imgs: np.ndarray,
                       iou_threshold: Optional[float] = None,
                       score_threshold: Optional[float] = None):
@@ -412,34 +445,15 @@ class Yolov4:
         from .utils.stream import threaded_map
 
         img_paths = list(img_paths)
-        h, w = self.img_size[:2]
-        # uint8 wire: ship resized uint8 rasters, /255 runs on-device
-        # (bit-identical — the float path resizes in uint8 BEFORE dividing).
-        # Letterbox keeps the float wire: its gray-pad compositing is float.
-        u8_wire = self.config.transfer_uint8 and not self.config.letterbox
 
         def load(paths):
-            imgs = np.zeros((bs, h, w, 3),
-                            np.uint8 if u8_wire else np.float32)
-            raws, transforms = [], []
-            for j, p in enumerate(paths):
+            raws = []
+            for p in paths:
                 raw = cv2.imread(p)
                 if raw is None:
                     raise FileNotFoundError(p)
-                raw = raw[:, :, ::-1]
-                if u8_wire:
-                    imgs[j], t = cv2.resize(np.asarray(raw), (w, h)), None
-                else:
-                    imgs[j], t = self._preprocess_with_transform(raw)
-                raws.append(raw)
-                transforms.append(t)
-            if self._mesh is None:
-                # Producer-thread device placement: batch N+1's async H2D
-                # copy rides under batch N's device compute (same
-                # double-buffering as Trainer._prefetch_place).  Mesh
-                # inference skips it — the jitted program's in_shardings
-                # governs placement there.
-                imgs = jax.device_put(imgs)
+                raws.append(raw[:, :, ::-1])
+            imgs, transforms = self._batch_from_rgb(raws, bs)
             return paths, imgs, raws, transforms
 
         chunks = [img_paths[s:s + bs] for s in range(0, len(img_paths), bs)]

@@ -46,6 +46,9 @@ def export_detector(model, path: str, batch_size: int = 1,
     import jax
     import jax.numpy as jnp
 
+    if input_dtype not in ("float32", "uint8"):
+        raise ValueError(
+            f"input_dtype must be 'float32' or 'uint8', got {input_dtype!r}")
     cfg = model.config
     iou_t = cfg.iou_threshold if iou_threshold is None else float(iou_threshold)
     score_t = (cfg.score_threshold if score_threshold is None
@@ -78,9 +81,6 @@ def export_detector(model, path: str, batch_size: int = 1,
     def fn(images):
         return infer_fn(folded, images, iou_t, score_t)
 
-    if input_dtype not in ("float32", "uint8"):
-        raise ValueError(
-            f"input_dtype must be 'float32' or 'uint8', got {input_dtype!r}")
     h, w, c = model.img_size
     spec = jax.ShapeDtypeStruct(
         (batch_size, h, w, c),
@@ -100,9 +100,14 @@ def load_detector(path: str) -> Callable:
 
     Returns ``detect(images) -> (boxes, scores, classes, valid_detections)``
     — same contract as ``Yolov4.predict_batch``.  The returned callable is
-    jittable and composable like any JAX function.
+    jittable and composable like any JAX function, and carries the
+    artifact's fixed input signature as ``detect.input_shape`` /
+    ``detect.input_dtype`` (``jax.export`` enforces both strictly — a
+    uint8-wire artifact rejects float input and vice versa, so callers
+    must build their batch from these instead of guessing).
     """
     import jax
+    import numpy as np
 
     with open(path, "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
@@ -110,4 +115,7 @@ def load_detector(path: str) -> Callable:
     def detect(images):
         return exported.call(images)
 
+    aval = exported.in_avals[0]
+    detect.input_shape = tuple(int(d) for d in aval.shape)
+    detect.input_dtype = np.dtype(aval.dtype)
     return detect

@@ -38,8 +38,6 @@ def annotate_video(model, input_path: str, output_path: str, bs: int = 8,
     writer = cv2.VideoWriter(output_path,
                              cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
 
-    mh, mw = model.img_size[:2]
-
     def read_batches():
         done = False
         count = 0
@@ -58,26 +56,11 @@ def annotate_video(model, input_path: str, output_path: str, bs: int = 8,
             if raws:
                 yield raws
 
-    # uint8 wire + producer-thread device placement, exactly as
-    # Yolov4.predict_paths: resized uint8 rasters ship 4x less H2D (the
-    # jitted program normalizes on-device, bit-identical — the float path
-    # resizes in uint8 before dividing) and the async copy of batch N+1
-    # rides under batch N's inference.  Letterbox keeps the float wire.
-    u8_wire = model.config.transfer_uint8 and not model.config.letterbox
-
     def preprocess(raws):
-        imgs = np.zeros((bs, mh, mw, 3),
-                        np.uint8 if u8_wire else np.float32)
-        transforms = []
-        for j, raw in enumerate(raws):
-            if u8_wire:
-                imgs[j], t = cv2.resize(np.asarray(raw), (mw, mh)), None
-            else:
-                imgs[j], t = model._preprocess_with_transform(raw)
-            transforms.append(t)
-        if getattr(model, "_mesh", None) is None:
-            import jax
-            imgs = jax.device_put(imgs)
+        # Wire format (uint8 vs float) + producer-thread device placement
+        # are decided by the shared facade loader — see
+        # Yolov4._batch_from_rgb.
+        imgs, transforms = model._batch_from_rgb(raws, bs)
         return raws, imgs, transforms
 
     n = 0
