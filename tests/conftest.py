@@ -76,6 +76,7 @@ _HEAVY = {
     "test_mesh_accum_masked_weights_local_counts",
     "test_mesh_grad_accum_step",
     "test_mesh_masked_step_weights_by_valid_count",
+    "test_mesh_step_uint8_matches_float",
     "test_mesh_step_with_encode_on_device",
     "test_overfit_tiny_synthetic",
     "test_predict_batch_ragged_pads_to_aligned",

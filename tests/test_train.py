@@ -1264,3 +1264,50 @@ def test_accum_padded_tail_trains_instead_of_dropping(rng):
     assert m4 is not None and np.isfinite(float(m4["loss"]))
     for leaf in jax.tree.leaves((tr4.params, tr4.state, tr4.opt_state)):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_mesh_step_uint8_matches_float(rng):
+    """The uint8 wire composes with mesh data parallelism: a shard_map
+    train step on a uint8 batch matches the float32 batch of the same
+    raster values (the per-replica core normalizes on-device, so the wire
+    format never touches the collective math)."""
+    import optax
+
+    params, state, _ = network.init(C, img_size=64, seed=0)
+    batch = _synthetic_batch(rng, bs=4)
+    u8 = np.clip(np.rint(np.array(batch["image"]) * 255), 0, 255
+                 ).astype(np.uint8)
+    bf = dict(batch, image=jnp.asarray(u8.astype(np.float32) / 255.0))
+    bu = dict(batch, image=jnp.asarray(u8))
+
+    # SGD keeps the update linear in the gradients (see
+    # test_mesh_masked_step_weights_by_valid_count).
+    tf_ = Trainer(CFG, C, params, state, mesh=make_mesh(2),
+                  optimizer=optax.sgd(0.1))
+    tu = Trainer(CFG, C, params, state, mesh=make_mesh(2),
+                 optimizer=optax.sgd(0.1))
+    mf = tf_.train_step(bf)
+    mu = tu.train_step(bu)
+    # Same tolerance story as test_uint8_batch_matches_float: identical
+    # values, but the u8 program fuses the /255, so the two COMPILED
+    # programs reassociate (~e-6) — and this untrained net amplifies that
+    # >1000x in individual gradient elements.  Loss and BN state (forward
+    # quantities) are tight; the parameter UPDATE (0.1x the gradient under
+    # SGD) is bounded globally, not elementwise.
+    assert float(mf["loss"]) == pytest.approx(float(mu["loss"]), rel=1e-4)
+
+    def leaf_close(got, want, tol):
+        got, want = np.asarray(got), np.asarray(want)
+        scale = max(float(np.abs(want).max()), 1e-3)
+        return float(np.abs(got - want).max()) <= tol * scale
+
+    for a, b in zip(jax.tree.leaves(tf_.state), jax.tree.leaves(tu.state)):
+        assert leaf_close(a, b, 1e-3)
+    df = jnp.concatenate([
+        (a - b).ravel() for a, b in zip(jax.tree.leaves(tf_.params),
+                                        jax.tree.leaves(params))])
+    du = jnp.concatenate([
+        (a - b).ravel() for a, b in zip(jax.tree.leaves(tu.params),
+                                        jax.tree.leaves(params))])
+    rel = float(jnp.linalg.norm(df - du) / jnp.linalg.norm(df))
+    assert rel < 0.20, rel
