@@ -342,8 +342,8 @@ def test_predict_paths_uint8_wire_matches_float(model, tmp_path, rng):
     onto the uint8 wire; per-image DataFrames / pred txts must match the
     float wire EXACTLY — the float path resizes in uint8 before dividing,
     so shipping the resized uint8 raster and dividing on-device feeds the
-    network bit-identical values (only program reassociation can differ;
-    detections are compared at the reference's 2-decimal score print)."""
+    network the same values to within 1 ulp / program reassociation;
+    detections are compared at the reference's 2-decimal score print."""
     import dataclasses
 
     import cv2

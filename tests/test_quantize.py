@@ -272,3 +272,55 @@ def test_int8_dataflow_matches_bf16_dataflow_detections(quantized_setup):
         # each path is ~0.07-0.10 from float (requantization points differ),
         # so their mutual distance is ~sqrt(2) of that: measured 0.133
         assert rel < 0.2, f"dataflow divergence {rel}"
+
+
+def test_quantize_composes_with_uint8_wire(tmp_path, rng):
+    """int8 inference accepts the uint8 wire: predict_batch on a uint8
+    batch yields the same detection SET as the float [0,1] batch of the
+    same raster values through the quantized program.
+
+    Set comparison, not row-by-row: the u8 and f32 input dtypes trace to
+    two different XLA programs, so the compiler may fuse the on-device
+    /255 into the activation-quantization rounding differently — worth
+    ±1 int8 code — and the quantization collapses many scores to
+    exactly-equal codes, so NMS tie-break order can differ too.  Measured
+    on the real TPU the sets are exactly equal (sorted-score maxdiff 0.0,
+    all boxes IoU 1.0); on the CPU test backend ±1-code flips shift
+    sorted scores by up to ~0.012 and swap a few same-object boxes, hence
+    the tolerances below.  They still catch the real regressions (a
+    skipped /255, wrong dtype dispatch, scale misapplication), all of
+    which blow up counts and score distributions."""
+    from yolov4tpu.api import Yolov4
+    from yolov4tpu.config import YoloConfig
+
+    classes = tmp_path / "classes.txt"
+    classes.write_text("a\nb\nc\n")
+    cfg = YoloConfig(img_size=(IMG, IMG, 3), csp_repeats=REPS,
+                     nms_pre_top_k=64, score_threshold=0.01)
+    m = Yolov4(class_name_path=str(classes), config=cfg)
+    params, state, _ = he_scaled_model(np.random.default_rng(3))
+    m.sync_params(params, state)
+
+    u8 = rng.integers(0, 256, (2, IMG, IMG, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    m.quantize(calib_imgs=f32)
+    got_f = [np.asarray(o) for o in m.predict_batch(f32)]
+    got_u = [np.asarray(o) for o in m.predict_batch(u8)]
+    assert int(got_f[3].min()) > 0  # nonzero detections: not vacuous
+    np.testing.assert_array_equal(got_u[3], got_f[3])
+    for i, n in enumerate(got_f[3]):
+        n = int(n)
+        np.testing.assert_allclose(np.sort(got_u[1][i, :n]),
+                                   np.sort(got_f[1][i, :n]), atol=0.03)
+        # nearly every float-path box has a close u8-path match
+        bf, bu = got_f[0][i, :n], got_u[0][i, :n]
+        x1 = np.maximum(bf[:, None, 0], bu[None, :, 0])
+        y1 = np.maximum(bf[:, None, 1], bu[None, :, 1])
+        x2 = np.minimum(bf[:, None, 2], bu[None, :, 2])
+        y2 = np.minimum(bf[:, None, 3], bu[None, :, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        af = (bf[:, 2] - bf[:, 0]) * (bf[:, 3] - bf[:, 1])
+        au = (bu[:, 2] - bu[:, 0]) * (bu[:, 3] - bu[:, 1])
+        iou = inter / (af[:, None] + au[None, :] - inter)
+        matched = (iou.max(axis=1) > 0.8).mean()
+        assert matched >= 0.9, f"only {matched:.0%} of boxes matched"

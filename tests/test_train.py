@@ -550,8 +550,9 @@ def test_mesh_masked_step_weights_by_valid_count(rng):
 
 
 def test_uint8_batch_matches_float(rng):
-    """A uint8 image batch (transfer_uint8 wire format) steps bit-identically
-    to the same values shipped as float32 — the core normalizes on-device.
+    """A uint8 image batch (transfer_uint8 wire format) steps equivalently
+    to the same values shipped as float32 — the core normalizes on-device,
+    within compiled-program reassociation of the fused /255 (see body).
     Covers the train core and the validation step."""
     from yolov4tpu.train import _make_grad_and_metrics, make_eval_step
 

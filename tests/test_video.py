@@ -57,8 +57,8 @@ def test_annotate_video_max_frames(tiny_model, tmp_path):
 
 def test_annotate_video_uint8_wire(tiny_model, tmp_path):
     """transfer_uint8 routes video frames onto the uint8 wire — same frame
-    count out, and per-frame detections match the float wire (bit-identical
-    network inputs; see predict_paths)."""
+    count out, and per-frame detections match the float wire (same raster,
+    /255 within 1 ulp; see predict_paths)."""
     import dataclasses
 
     import cv2

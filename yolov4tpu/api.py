@@ -75,8 +75,10 @@ def build_infer_fn(cfg: YoloConfig, num_classes: int, compute_dtype,
         if images.dtype == jnp.uint8:
             # uint8 wire format (see train.py grad_and_metrics): callers may
             # ship raw resized uint8 rasters and normalize on-device — 4x
-            # less H2D traffic, bit-identical to a host-side /255 of the
-            # same raster (the float path resizes in uint8 BEFORE dividing).
+            # less H2D traffic, same raster bytes the float path divides
+            # (it resizes in uint8 BEFORE dividing); the on-device /255
+            # may differ from a host divide by <=1 ulp (XLA lowers it to
+            # a reciprocal multiply; measured 6e-8 max on TPU).
             images = images.astype(jnp.float32) / 255.0
         raws = _apply(folded, images, num_classes,
                       compute_dtype,
@@ -370,9 +372,10 @@ class Yolov4:
         place.  Returns (imgs, per-image letterbox transforms).
 
         - uint8 wire (config.transfer_uint8, non-letterbox): ships resized
-          uint8 rasters, /255 runs on-device — bit-identical, because the
-          float path resizes in uint8 BEFORE dividing.  Letterbox keeps the
-          float wire (its gray-pad compositing is float).
+          uint8 rasters, /255 runs on-device — the identical raster bytes
+          the float path divides (it resizes in uint8 BEFORE dividing; the
+          on-device /255 is within 1 ulp of a host divide).  Letterbox
+          keeps the float wire (its gray-pad compositing is float).
         - Producer-thread device placement: callers run this inside their
           prefetch thread, so batch N+1's async H2D copy rides under batch
           N's device compute (Trainer._prefetch_place's double-buffering).

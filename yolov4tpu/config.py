@@ -91,8 +91,9 @@ class YoloConfig:
     # auto-detects the dtype, so hand-built uint8 batches work without
     # this flag; it switches what DataGenerator emits AND what the
     # inference loaders ship (predict_paths / export_prediction send
-    # resized uint8 rasters — there the device-side /255 is bit-identical
-    # because the float path resizes in uint8 BEFORE dividing; letterbox
+    # resized uint8 rasters — the float path resizes in uint8 BEFORE
+    # dividing, so the device-side /255 sees the identical raster and
+    # lands within 1 ulp of the host divide; letterbox
     # keeps the float wire, its gray-pad compositing is float).
     # predict_batch likewise auto-detects: pass a uint8 array, ride the
     # uint8 wire.

@@ -92,9 +92,10 @@ def export_prediction(predict_batch_fn: Callable, annotation_path: str,
         (boxes_norm (B,T,4), scores (B,T), classes (B,T), valid (B,)).
 
     transfer_uint8: ship resized uint8 rasters instead of float32 (4x less
-    H2D; the jitted inference program normalizes on-device — bit-identical
-    because the float path resizes in uint8 BEFORE dividing).  Ignored
-    under letterbox, whose gray-pad compositing is float.
+    H2D; the jitted inference program normalizes on-device — the same
+    raster the float path divides, since it resizes in uint8 BEFORE
+    dividing, and the on-device /255 is within 1 ulp of the host divide).
+    Ignored under letterbox, whose gray-pad compositing is float.
 
     place_fn: optional device-placement callable (e.g. jax.device_put)
     applied to each image batch INSIDE the producer thread, so batch N+1's

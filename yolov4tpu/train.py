@@ -174,8 +174,8 @@ def _make_grad_and_metrics(num_classes: int, config: YoloConfig,
         if batch["image"].dtype == jnp.uint8:
             # uint8 wire format (YoloConfig.transfer_uint8, or any caller
             # shipping raw decoded bytes): normalize on-device — 4x less
-            # H2D traffic, bit-identical to a host-side /255 of the same
-            # uint8 raster.
+            # H2D traffic, within 1 ulp of a host-side /255 of the same
+            # uint8 raster (XLA may lower /255 to a reciprocal multiply).
             batch = dict(batch,
                          image=batch["image"].astype(jnp.float32) / 255.0)
         batch = _maybe_encode_on_device(batch, config, num_classes)
