@@ -440,6 +440,48 @@ def _device_sections(result, extras, errors):
     })
 
 
+def _emit(result) -> None:
+    """Print the final JSON line, persist it to BENCH_LAST.json, and arm an
+    atexit guard that re-prints it if ANYTHING else writes to stdout
+    afterwards — the driver parses the last stdout line, and a stray
+    late print (library warning, interpreter message) must not cost the
+    round's telemetry (r02 postmortem, VERDICT r04 weak#4)."""
+    import atexit
+
+    line = json.dumps(result)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+    raw = sys.stdout
+    state = {"clean": False}
+
+    class _Guarded:
+        def write(self, s):
+            if s.strip():
+                state["clean"] = s.strip() == line
+            return raw.write(s)
+
+        def flush(self):
+            return raw.flush()
+
+        def __getattr__(self, name):
+            return getattr(raw, name)
+
+    sys.stdout = _Guarded()
+
+    def _reprint():
+        if not state["clean"]:
+            raw.write("\n" + line + "\n")
+            raw.flush()
+
+    atexit.register(_reprint)
+    print(line, flush=True)
+
+
 def parent_main():
     """Spawn the child, retry on flake, ALWAYS print one valid JSON line."""
     attempts = 1 + len(RETRY_DELAYS)
@@ -468,7 +510,7 @@ def parent_main():
                 parsed = cand
                 break
         if parsed is not None and parsed.get("value", 0) > 0:
-            print(json.dumps(parsed))
+            _emit(parsed)
             return
         if parsed is not None:
             last_parsed = parsed  # valid record, but value 0 — maybe a flake
@@ -484,11 +526,16 @@ def parent_main():
     if last_error:
         result.setdefault("extras", {}).setdefault("errors", []).append(
             f"parent: {last_error}")
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":
     if "--child" in sys.argv[1:]:
         child_main()
     else:
-        parent_main()
+        try:
+            parent_main()
+        except BaseException as e:  # noqa: BLE001 — contract: always a line
+            r = _empty_result()
+            r["extras"]["errors"].append(f"parent crashed: {_err(e)}")
+            _emit(r)

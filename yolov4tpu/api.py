@@ -424,6 +424,15 @@ class Yolov4:
         # compile per odd tail size (train.aligned_size buckets).
         b = imgs.shape[0]
         target = aligned_size(b)
+        if self._mesh is not None and \
+                getattr(self, "_dist_axis", "batch") == "batch":
+            # Under distribute() the batch axis is sharded P("data"): the
+            # padded size must ALSO split evenly across the mesh, or GSPMD
+            # cannot place it (e.g. b=3 on 8 devices -> pad to 8, not 4).
+            # Inference samples are independent, so padding stays exact.
+            n_dev = self._mesh.devices.size
+            while target % n_dev:
+                target = aligned_size(target + 1)
         if target != b:
             imgs = jnp.pad(imgs, ((0, target - b), (0, 0), (0, 0), (0, 0)))
         out = self._infer_fn(self._folded, imgs, iou_t, score_t)

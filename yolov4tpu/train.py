@@ -563,8 +563,15 @@ def make_train_step_twophase(num_classes: int, config: YoloConfig,
     return step
 
 
-def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
-    """Jitted validation loss (BN in inference mode)."""
+def make_eval_step(num_classes: int, config: YoloConfig, mesh=None,
+                   masked: bool = False):
+    """Jitted validation loss (BN in inference mode).
+
+    ``masked`` (mesh path): the batch carries a (B,) 0/1 validity mask
+    (pad_mask_batch) and the returned loss is the mean over VALID samples
+    only, weighted across shards by per-shard valid counts — a ragged
+    validation tail evaluates on the mesh to exactly its trimmed-batch
+    loss, mirroring make_train_step(masked=True)."""
     anchors = config.anchors_grouped
 
     def step(params, state, batch):
@@ -572,23 +579,33 @@ def make_eval_step(num_classes: int, config: YoloConfig, mesh=None):
             batch = dict(batch,
                          image=batch["image"].astype(jnp.float32) / 255.0)
         batch = _maybe_encode_on_device(batch, config, num_classes)
+        mask = batch.get("mask") if masked else None
         outs, _ = network.apply(params, state, batch["image"], num_classes,
                                 train=False, csp_repeats=config.csp_repeats)
         return yolo_loss(outs, batch["labels"], batch["boxes"], anchors,
                          config.strides, num_classes, config.iou_loss_thresh,
                          weights=(config.loss_box_weight,
                                   config.loss_conf_weight,
-                                  config.loss_prob_weight))
+                                  config.loss_prob_weight),
+                         sample_mask=mask)
 
     if mesh is None:
         return jax.jit(step)
 
     from jax.sharding import PartitionSpec as P
 
-    batch_spec = _batch_pspec(config, P("data"))
+    batch_spec = _batch_pspec(config, P("data"), masked=masked)
 
     def local_step(params, state, batch):
-        return lax.pmean(step(params, state, batch), "data")
+        loss = step(params, state, batch)
+        if masked:
+            # Valid-count-weighted mean across shards: an all-padding shard
+            # (w=0, finite throwaway loss by masked-mean construction)
+            # contributes nothing.
+            w = jnp.sum(batch["mask"], dtype=jnp.float32)
+            return (lax.psum(loss * w, "data")
+                    / jnp.maximum(lax.psum(w, "data"), 1.0))
+        return lax.pmean(loss, "data")
 
     return jax.jit(jax.shard_map(local_step, mesh=mesh,
                                  in_specs=(P(), P(), batch_spec),
@@ -622,6 +639,7 @@ class Trainer:
                                      self.mesh)
         self._step_masked = None  # lazy: mesh pad-and-mask variant
         self._eval = make_eval_step(num_classes, config, self.mesh)
+        self._eval_masked = None  # lazy: pad-and-mask eval (ragged tails)
         self._chunk_grad = None     # lazy: jitted grads for aligned chunks
         self._chunk_combine = None  # lazy: weighted combine + Adam update
         self.global_step = 0
@@ -792,6 +810,25 @@ class Trainer:
         hp["learning_rate"] = value
 
     def eval_step(self, batch):
+        """Validation loss on one batch.  Ragged tails never raise: a batch
+        that does not split evenly across the mesh (or is XLA-non-aligned on
+        a single device) is padded to the nearest aligned/device-divisible
+        size with a validity mask, and the masked eval step returns exactly
+        the trimmed batch's loss (pad-and-mask, mirroring train_step)."""
+        b = next(iter(jax.tree.leaves(batch))).shape[0]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        ragged = (b % n_dev != 0 if self.mesh is not None
+                  else not aligned_batch(b))
+        if ragged:
+            target = -(-b // n_dev) * n_dev
+            if self.mesh is None:
+                target = aligned_size(b)
+            batch = pad_mask_batch(batch, target)
+            if self._eval_masked is None:
+                self._eval_masked = make_eval_step(
+                    self.num_classes, self.config, self.mesh, masked=True)
+            return self._eval_masked(self.params, self.state,
+                                     self._place(batch))
         return self._eval(self.params, self.state, self._place(batch))
 
     # -- checkpoint / resume (SURVEY §5: the reference had none) ----------
