@@ -560,6 +560,12 @@ def make_train_step_twophase(num_classes: int, config: YoloConfig,
         jax.block_until_ready(slab)
         return phase2(slab, params, opt_state, treedef, shapes)
 
+    # Exposed for the multi-chip dryrun: phase 1 (per-shard AD over the full
+    # depth) is ~95% of this step's compile time, and `__graft_entry__`
+    # pre-compiles it via .lower().compile() so a cold-cache gate run shows
+    # where the time goes (the persistent compile cache dedupes the later
+    # in-step compile).
+    step.phase1 = phase1
     return step
 
 
