@@ -47,9 +47,17 @@ if __name__ == "__main__":  # direct-script use without installed package
 
 def _make_dataset(tmp: str, n: int, rng, num_classes: int = 3,
                   size_range=(300, 700), boxes_per_img: int = 5,
-                  box_wh=(50, 60)) -> tuple:
+                  box_wh=(50, 60), photo: bool = False) -> tuple:
     """Synthetic on-disk JPEG dataset + annotation lines (shared with
-    bench_e2e_train)."""
+    bench_e2e_train).
+
+    photo=False writes uniform-noise images — maximum-entropy JPEGs whose
+    huffman streams are ~4x a real photograph's (312 KB vs 78 KB median
+    for the same dims here), i.e. the DECODE WORST CASE.  photo=True
+    writes smooth-gradient images with mild texture whose compressed size
+    matches real photos — the representative case for dataset ingest
+    (decode cost on this host is dominated by huffman bits, which scale
+    with file size)."""
     import cv2
 
     classes = os.path.join(tmp, "classes.txt")
@@ -58,9 +66,15 @@ def _make_dataset(tmp: str, n: int, rng, num_classes: int = 3,
     lines = []
     bw, bh = box_wh
     for i in range(n):
-        h, w = rng.integers(*size_range), rng.integers(*size_range)
-        cv2.imwrite(os.path.join(tmp, f"i{i}.jpg"),
-                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        h, w = int(rng.integers(*size_range)), int(rng.integers(*size_range))
+        if photo:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([yy * 255 / h, xx * 255 / w,
+                            (xx + yy) * 127 / (h + w)], -1).astype(np.uint8)
+            img += rng.integers(0, 12, img.shape, dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(os.path.join(tmp, f"i{i}.jpg"), img)
         boxes = " ".join(
             f"{x},{y},{x + bw},{y + bh},{rng.integers(0, num_classes)}"
             for x, y in rng.integers(10, min(size_range[0], 300) - bh,
@@ -83,14 +97,15 @@ def measure(n: int = 64, batch: int = 8, img: int = 416,
         classes, lines = _make_dataset(tmp, n, rng)
 
         def run(use_native, encode_on_device=False, workers=1,
-                fast_decode=True, **aug):
+                fast_decode=True, dataset=None, **aug):
+            ds_tmp, ds_classes, ds_lines = dataset or (tmp, classes, lines)
             cfg = YoloConfig(img_size=(img, img, 3),
                              batch_size=batch,
                              encode_on_device=encode_on_device,
                              num_workers=workers,
                              fast_decode=fast_decode,
                              **aug)
-            gen = DataGenerator(lines, classes, tmp, config=cfg,
+            gen = DataGenerator(ds_lines, ds_classes, ds_tmp, config=cfg,
                                 shuffle=False, use_native=use_native, seed=0)
             gen.get_batch(0)  # warm (file cache, pool spin-up)
             best = 0.0
@@ -124,12 +139,37 @@ def measure(n: int = 64, batch: int = 8, img: int = 416,
                                                       fast_decode=False), 1)
             out["native_raw_boxes_img_per_s"] = round(run(True, True), 1)
             out["speedup"] = round(nat / py_ips, 2)
-            # The round-3 gap: augmentation used to forfeit the native path
-            # AND ran single-threaded.  Now: native JPEG decode inside
-            # pooled workers, aug included.
+            # Round-5: augmented batches route through the native planner
+            # (python plans draws + box math, C++ decodes/resizes/jitters/
+            # composites tiles under OpenMP).  Mosaic decodes 4 sources per
+            # output image, so on these maximum-entropy noise JPEGs the
+            # rate is decode-bound ~4x below plain; the photo-like block
+            # below is the representative number.
             out["augmented_img_per_s"] = round(
                 run(True, workers=cpus, use_mosaic=True, use_hflip=True,
                     use_color_jitter=True), 1)
+            # Same measurements on realistic-compression JPEGs.
+            photo_tmp = tempfile.mkdtemp(prefix="benchdata_photo_")
+            try:
+                p_classes, p_lines = _make_dataset(photo_tmp, n,
+                                                   np.random.default_rng(0),
+                                                   photo=True)
+                photo_ds = (photo_tmp, p_classes, p_lines)
+                out["photo"] = {
+                    "native_img_per_s": round(run(True, dataset=photo_ds),
+                                              1),
+                    "augmented_img_per_s": round(
+                        run(True, workers=cpus, dataset=photo_ds,
+                            use_mosaic=True, use_hflip=True,
+                            use_color_jitter=True), 1),
+                    "augmented_python_img_per_s": round(
+                        run(False, workers=cpus, dataset=photo_ds,
+                            use_mosaic=True, use_hflip=True,
+                            use_color_jitter=True), 1),
+                }
+            finally:
+                if cleanup:
+                    shutil.rmtree(photo_tmp, ignore_errors=True)
         if sweep and cpus > 1:
             out["workers_sweep"] = {
                 w: round(run(False, workers=w), 1)

@@ -92,6 +92,110 @@ void resize_bilinear_batch(const uint8_t* const* srcs, const int* src_hw,
 }
 
 // ---------------------------------------------------------------------------
+// HSV color jitter on one [0,1] RGB pixel — the same float-path formulas as
+// cv2.cvtColor(..., COLOR_RGB2HSV/HSV2RGB) used by the python augmentation
+// (data/pipeline.py::random_color_jitter): H in [0,360), S/V in [0,1].
+// dh360: hue shift in degrees; fs/fv: saturation/value scale factors.
+// ---------------------------------------------------------------------------
+// NOTE: no per-function fast-math attribute here — differing optimize()
+// flags stop GCC inlining this into resize_into's pixel loop, and the
+// call-per-pixel costs more than fast-math saves (measured).
+static inline void hsv_jitter_px(float* pr, float* pg, float* pb, float dh360,
+                                 float fs, float fv) {
+  const float r = *pr, g = *pg, b = *pb;
+  const float v = std::max(r, std::max(g, b));
+  const float mn = std::min(r, std::min(g, b));
+  const float d = v - mn;
+  float s = v > 0.0f ? d / v : 0.0f;
+  float h;
+  if (d <= 0.0f) {
+    h = 0.0f;
+  } else if (v == r) {
+    h = 60.0f * (g - b) / d;
+    if (h < 0.0f) h += 360.0f;
+  } else if (v == g) {
+    h = 120.0f + 60.0f * (b - r) / d;
+  } else {
+    h = 240.0f + 60.0f * (r - g) / d;
+  }
+  // Wrap without fmod: h is already in [0,360) and |dh360| <= 360, so one
+  // conditional add/subtract covers the whole range (fmodf costs ~2x the
+  // rest of this function combined — measured 42ns/px before, <15 after).
+  h += dh360;
+  if (h >= 360.0f) h -= 360.0f;
+  else if (h < 0.0f) h += 360.0f;
+  s = std::min(std::max(s * fs, 0.0f), 1.0f);
+  float vv = std::min(std::max(v * fv, 0.0f), 1.0f);
+  const float c = vv * s;
+  const float hp = h * (1.0f / 60.0f);
+  const int sector = (int)hp;  // 0..5 (hp < 6)
+  // fmod(hp, 2) == hp - 2*(sector>>1) for hp in [0, 6).
+  const float x =
+      c * (1.0f - std::fabs(hp - (float)(2 * (sector >> 1)) - 1.0f));
+  const float m = vv - c;
+  float ro = 0, go = 0, bo = 0;
+  switch (sector) {
+    case 0: ro = c; go = x; break;
+    case 1: ro = x; go = c; break;
+    case 2: go = c; bo = x; break;
+    case 3: go = x; bo = c; break;
+    case 4: ro = x; bo = c; break;
+    default: ro = c; bo = x; break;  // sector 5 (and hp==6.0 edge)
+  }
+  *pr = ro + m;
+  *pg = go + m;
+  *pb = bo + m;
+}
+
+// Bilinear-resize a u8 HWC source into a SUBRECT of a float canvas
+// (row stride cw pixels), with /255 normalise, optional fused HSV jitter,
+// and optional fused horizontal mirror (the rect maps to its canvas-width
+// mirror image — one pass instead of a later whole-canvas flip).  Same
+// cv2-compatible sampling as resize_one.  Disjoint rects stay disjoint
+// under the mirror, so the tile loop remains writer-safe under OpenMP.
+static void resize_into(const uint8_t* src, int sh, int sw, float* canvas,
+                        int cw, int x0, int y0, int qw, int qh, int jitter,
+                        float dh360, float fs, float fv, int mirror) {
+  const float sx = (float)sw / (float)qw;
+  const float sy = (float)sh / (float)qh;
+  for (int y = 0; y < qh; ++y) {
+    float fy = ((float)y + 0.5f) * sy - 0.5f;
+    int yy0 = (int)std::floor(fy);
+    float wy = fy - (float)yy0;
+    int yy1 = yy0 + 1;
+    yy0 = std::min(std::max(yy0, 0), sh - 1);
+    yy1 = std::min(std::max(yy1, 0), sh - 1);
+    const uint8_t* row0 = src + (size_t)yy0 * sw * 3;
+    const uint8_t* row1 = src + (size_t)yy1 * sw * 3;
+    float* out_row = canvas + (size_t)(y0 + y) * cw * 3;
+    for (int x = 0; x < qw; ++x) {
+      float fx = ((float)x + 0.5f) * sx - 0.5f;
+      int xx0 = (int)std::floor(fx);
+      float wx = fx - (float)xx0;
+      int xx1 = xx0 + 1;
+      xx0 = std::min(std::max(xx0, 0), sw - 1);
+      xx1 = std::min(std::max(xx1, 0), sw - 1);
+      const float w00 = (1.0f - wy) * (1.0f - wx);
+      const float w01 = (1.0f - wy) * wx;
+      const float w10 = wy * (1.0f - wx);
+      const float w11 = wy * wx;
+      float px[3];
+      for (int c = 0; c < 3; ++c) {
+        float v = w00 * row0[xx0 * 3 + c] + w01 * row0[xx1 * 3 + c] +
+                  w10 * row1[xx0 * 3 + c] + w11 * row1[xx1 * 3 + c];
+        px[c] = v * (1.0f / 255.0f);
+      }
+      if (jitter) hsv_jitter_px(&px[0], &px[1], &px[2], dh360, fs, fv);
+      const int xc = mirror ? cw - 1 - (x0 + x) : x0 + x;
+      float* out = out_row + (size_t)xc * 3;
+      out[0] = px[0];
+      out[1] = px[1];
+      out[2] = px[2];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // GT label encoding (parity with data/encode.preprocess_true_boxes, which in
 // turn matches reference utils.py:210-303):
 //   - centers via floor((x1+x2)/2) (the reference's float floor-division);
@@ -464,6 +568,101 @@ int yolo_imread_mem(const uint8_t* data, long len, int min_h, int min_w,
 // status[b] = 0 on success, <0 on failure (that image slot is left
 // untouched; the caller backfills via its cv2 fallback).  Returns the
 // number of failures.
+// Augmentation-capable batch ingest (tile-based).  The PYTHON side plans
+// every random draw (per-sample seeded rngs -> deterministic regardless of
+// thread count) and all box math; this kernel only executes pixels:
+// per TILE (OpenMP-parallel; mosaic emits 4 tiles per sample, letterbox
+// and plain emit 1): read file, JPEG-decode (DCT-downscaled to just cover
+// the tile rect), bilinear-resize + /255 + optional fused HSV jitter into
+// the sample canvas rect; then per SAMPLE: horizontal flip if flagged.
+// Tiles of one sample have disjoint rects, so the tile loop is write-safe.
+//
+// paths/tile_sample/tile_rect(x0,y0,w,h)/tile_hsv(hue deg, sat, val;
+// sat<0 -> no jitter): one row per tile.  flip/fill: one per sample
+// (fill initialises the canvas — 0 for mosaic, 0.5 for letterbox bars).
+// status[t] <0 on tile failure (caller re-does that SAMPLE in python);
+// src_hw_out[t] = full source (h, w) for the caller's box math.
+// Returns the number of failed tiles.
+int yolo_ingest_aug_batch(const char* const* paths, int n_tiles,
+                          const int32_t* tile_sample, const int32_t* tile_rect,
+                          const float* tile_hsv, const uint8_t* flip,
+                          const float* fill, float* imgs_out, int batch,
+                          int dh, int dw, int dct_scale, int32_t* status,
+                          int32_t* src_hw_out) {
+#if defined(YOLO_NO_JPEG)
+  for (int t = 0; t < n_tiles; ++t) status[t] = -100;
+  (void)paths; (void)tile_sample; (void)tile_rect; (void)tile_hsv; (void)flip;
+  (void)fill; (void)imgs_out; (void)batch; (void)dh; (void)dw;
+  (void)dct_scale; (void)src_hw_out;
+  return n_tiles;
+#else
+  const size_t canvas_px = (size_t)dh * dw;
+  // Skip the canvas fill for samples whose tiles exactly cover it (the
+  // common full-rect and non-degenerate mosaic cases) — tiles are
+  // disjoint, so covered area == canvas area means full coverage.
+  std::vector<size_t> covered(batch, 0);
+  for (int t = 0; t < n_tiles; ++t) {
+    const int s = tile_sample[t];
+    if (s >= 0 && s < batch)
+      covered[s] += (size_t)tile_rect[4 * t + 2] * tile_rect[4 * t + 3];
+  }
+#pragma omp parallel for schedule(static)
+  for (int b = 0; b < batch; ++b) {
+    if (covered[b] == canvas_px) continue;
+    float* c = imgs_out + (size_t)b * canvas_px * 3;
+    std::fill(c, c + canvas_px * 3, fill[b]);
+  }
+  int failures = 0;
+#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
+  for (int t = 0; t < n_tiles; ++t) {
+    const int x0 = tile_rect[4 * t], y0 = tile_rect[4 * t + 1];
+    const int qw = tile_rect[4 * t + 2], qh = tile_rect[4 * t + 3];
+    src_hw_out[2 * t] = 0;
+    src_hw_out[2 * t + 1] = 0;
+    if (qw < 1 || qh < 1 || x0 < 0 || y0 < 0 || x0 + qw > dw ||
+        y0 + qh > dh || tile_sample[t] < 0 || tile_sample[t] >= batch) {
+      status[t] = -5;  // malformed rect/sample — planner bug, fail loudly
+      ++failures;
+      continue;
+    }
+    const int min_h = dct_scale ? qh : 0;
+    const int min_w = dct_scale ? qw : 0;
+    int oh = 0, ow = 0, fh = 0, fw = 0;
+    std::vector<uint8_t> file;
+    int rc = read_file(paths[t], &file);
+    std::vector<uint8_t> scratch;
+    if (rc == 0) {
+      rc = decode_jpeg_mem(file.data(), file.size(), min_h, min_w, nullptr,
+                           0, &oh, &ow, &fh, &fw);
+    }
+    if (rc == 0) {
+      scratch.resize(static_cast<size_t>(oh) * ow * 3);
+      rc = decode_jpeg_mem(file.data(), file.size(), min_h, min_w,
+                           scratch.data(), scratch.size(), &oh, &ow, &fh,
+                           &fw);
+    }
+    status[t] = rc;
+    if (rc != 0) {
+      ++failures;
+      continue;
+    }
+    src_hw_out[2 * t] = fh;
+    src_hw_out[2 * t + 1] = fw;
+    const float sat = tile_hsv[3 * t + 1];
+    // The sample flip is fused as a mirrored write (identical values to a
+    // post-pass whole-canvas flip — a pure permutation — without the extra
+    // canvas read+write).  A failed tile leaves its rect unwritten even
+    // when the fill was skipped; the caller redoes that whole sample in
+    // python, so uninitialised pixels never escape.
+    resize_into(scratch.data(), oh, ow,
+                imgs_out + (size_t)tile_sample[t] * canvas_px * 3, dw, x0,
+                y0, qw, qh, sat >= 0.0f, tile_hsv[3 * t], sat,
+                tile_hsv[3 * t + 2], flip[tile_sample[t]]);
+  }
+  return failures;
+#endif
+}
+
 int yolo_ingest_batch(const char* const* paths, int batch, float* imgs_out,
                       float* boxes_inout, int max_boxes, int dh, int dw,
                       int dct_scale, int32_t* status) {

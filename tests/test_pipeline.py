@@ -475,11 +475,14 @@ def test_native_ingest_fast_decode(tmp_path, rng):
 def test_worker_pool_determinism(dataset):
     """Batch content is a function of the generator seed alone — NOT of the
     worker count or thread scheduling (per-sample seeds are drawn once,
-    sequentially).  Augmentations run inside the workers."""
+    sequentially).  Augmentations run inside the workers.  use_native=False
+    pins the PYTHON pool path — augmented batches normally route to the
+    native planner (covered by the test_native_aug_* cases below)."""
     cfg = YoloConfig(img_size=(64, 64, 3), batch_size=4, use_hflip=True,
                      use_color_jitter=True, use_mosaic=True)
     kw = dict(class_name_path=dataset["classes"],
-              folder_path=dataset["img_dir"], shuffle=False)
+              folder_path=dataset["img_dir"], shuffle=False,
+              use_native=False)
     g1 = DataGenerator(dataset["lines"], config=cfg.replace(num_workers=1),
                        seed=11, **kw)
     g4 = DataGenerator(dataset["lines"], config=cfg.replace(num_workers=4),
@@ -491,3 +494,91 @@ def test_worker_pool_determinism(dataset):
     np.testing.assert_array_equal(b1["boxes"], b4["boxes"])
     for l1, l4 in zip(b1["labels"], b4["labels"]):
         np.testing.assert_array_equal(l1, l4)
+
+
+def _native_aug_pair(dataset, seed=11, use_native_cmp=False, **aug):
+    """(native-aug batch, python batch) for the same seed/config."""
+    cfg = YoloConfig(img_size=(64, 64, 3), batch_size=4, num_workers=1,
+                     **aug)
+    kw = dict(class_name_path=dataset["classes"],
+              folder_path=dataset["img_dir"], shuffle=False)
+    gn = DataGenerator(dataset["lines"], config=cfg, seed=seed,
+                       use_native=True, **kw)
+    gp = DataGenerator(dataset["lines"], config=cfg, seed=seed,
+                       use_native=use_native_cmp, **kw)
+    return gn.get_batch(0), gp.get_batch(0)
+
+
+@pytest.mark.parametrize("aug", [
+    dict(use_mosaic=True, use_hflip=True, use_color_jitter=True),
+    dict(use_hflip=True),
+    dict(use_color_jitter=True),
+    dict(use_mosaic=True),
+    dict(letterbox=True, use_hflip=True),
+])
+def test_native_aug_geometry_matches_python(dataset, aug):
+    """The native augmented ingest (plan in python, pixels in C++) must
+    produce BIT-IDENTICAL box geometry and label grids to the python path:
+    every random draw comes from the same per-sample seeded stream in the
+    same order, and the box math mirrors the python expressions exactly
+    (pipeline._plan_boxes).  Pixels differ benignly (single source->rect
+    resize + jitter-after-resize vs the python double resize +
+    jitter-before-resize) — bounded, not bit-equal."""
+    from yolov4tpu import native
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    bn, bp = _native_aug_pair(dataset, **aug)
+    np.testing.assert_array_equal(bn["boxes"], bp["boxes"])
+    for ln, lp in zip(bn["labels"], bp["labels"]):
+        np.testing.assert_array_equal(ln, lp)
+    assert bn["image"].shape == bp["image"].shape
+    assert float(np.abs(bn["image"] - bp["image"]).mean()) < 0.08
+    assert bn["image"].min() >= 0.0 and bn["image"].max() <= 1.0
+
+
+def test_native_aug_deterministic(dataset):
+    """Native augmented batches are a function of the generator seed alone:
+    two generators, same seed -> bitwise-identical images, boxes, labels
+    (tile-level OpenMP writes disjoint rects, so thread scheduling cannot
+    reorder anything observable)."""
+    from yolov4tpu import native
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    aug = dict(use_mosaic=True, use_hflip=True, use_color_jitter=True)
+    b1, _ = _native_aug_pair(dataset, use_native_cmp=True, **aug)
+    b2, _ = _native_aug_pair(dataset, use_native_cmp=True, **aug)
+    np.testing.assert_array_equal(b1["image"], b2["image"])
+    np.testing.assert_array_equal(b1["boxes"], b2["boxes"])
+    for l1, l2 in zip(b1["labels"], b2["labels"]):
+        np.testing.assert_array_equal(l1, l2)
+
+
+def test_native_aug_non_jpeg_fallback(tmp_path, rng):
+    """A non-JPEG image routes ONLY that sample through the python fallback
+    (same per-sample seed -> same draws), so a mixed-format dataset yields
+    exactly the python path's batch."""
+    import cv2
+
+    from yolov4tpu import native
+    if not native.has_jpeg():
+        pytest.skip("native libjpeg unavailable")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    lines = []
+    for i in range(4):
+        img = rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8)
+        ext = "png" if i == 1 else "jpg"
+        cv2.imwrite(str(img_dir / f"p{i}.{ext}"), img)
+        lines.append(f"p{i}.{ext} 10,10,50,60,0 20,30,110,95,1\n")
+    classes = tmp_path / "c.txt"
+    classes.write_text("a\nb\n")
+    cfg = YoloConfig(img_size=(64, 64, 3), batch_size=4, num_workers=1,
+                     use_mosaic=True, use_hflip=True)
+    gn = DataGenerator(lines, str(classes), str(img_dir), config=cfg,
+                       shuffle=False, seed=3, use_native=True)
+    gp = DataGenerator(lines, str(classes), str(img_dir), config=cfg,
+                       shuffle=False, seed=3, use_native=False)
+    bn, bp = gn.get_batch(0), gp.get_batch(0)
+    np.testing.assert_array_equal(bn["boxes"], bp["boxes"])
+    for ln, lp in zip(bn["labels"], bp["labels"]):
+        np.testing.assert_array_equal(ln, lp)

@@ -308,6 +308,9 @@ class DataGenerator:
         # cpu_count threads for the process lifetime.
         self._pool = None
         self._pool_finalizer = None
+        # path -> (h, w) header-probe cache for the native letterbox
+        # planner (None entries mark files the native decoder can't take).
+        self._dims_cache: dict = {}
         self.on_epoch_end()
 
     def _get_pool(self):
@@ -428,6 +431,205 @@ class DataGenerator:
             self.config.strides)
         return {"image": X, "labels": y_tensor, "boxes": y_true_boxes_xywh}
 
+    # -- native augmented ingest (plan in python, pixels in C++) ------------
+    #
+    # The round-4 gap: ANY augmentation bailed to the per-sample python
+    # path (22.9 img/s on a 1-core host vs the 313 img/s the train step
+    # consumes).  The fix splits each sample into a PLAN and its PIXELS:
+    # every random draw happens here, sequentially, from the per-sample
+    # seeded rng in EXACTLY get_data's draw order (so batches stay a
+    # function of the seed alone — worker/thread counts can't change
+    # them, and box geometry is bit-identical to the python path), while
+    # the per-pixel work (JPEG decode DCT-downscaled to each tile rect,
+    # fused resize + /255 + HSV jitter, mosaic compositing, hflip) runs
+    # in native/yolodata.cpp::yolo_ingest_aug_batch under OpenMP with one
+    # GIL release per batch.  Pixel content differs benignly from the
+    # python path (single source->rect resize instead of the python
+    # double resize; jitter after the resize instead of before), the box
+    # geometry does not.  Reference analog: the slow host loop this
+    # replaces is reference utils.py:187-207.
+
+    def _plan_sample(self, line: str, rng) -> dict:
+        """All random draws for one sample, in get_data's exact order."""
+        jitter_on = self.config.use_color_jitter
+
+        def draw_jitter():
+            # Mirrors random_color_jitter(hue=0.1, sat=0.5, val=0.5) —
+            # the defaults _load_line uses — draw for draw.
+            if not jitter_on:
+                return None
+            h = rng.uniform(-0.1, 0.1)
+
+            def scale(s):
+                f = 1 + rng.uniform(0, s)
+                return f if rng.uniform() < 0.5 else 1.0 / f
+
+            return (h * 360.0, scale(0.5), scale(0.5))
+
+        path, boxes = self._parse_line(line)
+        tiles = [(path, boxes, draw_jitter())]
+        center = None
+        if self.mosaic:
+            idxs = rng.integers(0, len(self.annotation_lines), 3)
+            for i in idxs:
+                p, b = self._parse_line(self.annotation_lines[int(i)])
+                tiles.append((p, b, draw_jitter()))
+            h, w = self.target_img_size[:2]
+            center = (int(rng.uniform(0.3, 0.7) * h),
+                      int(rng.uniform(0.3, 0.7) * w))
+        flip = bool(self.config.use_hflip and rng.uniform() < 0.5)
+        return {"tiles": tiles, "center": center, "flip": flip, "rng": rng}
+
+    def _get_batch_native_aug(self, lines: Sequence[str],
+                              seeds: np.ndarray) -> dict:
+        from .. import native
+
+        h, w = self.target_img_size[:2]
+        n = len(lines)
+        plans = [self._plan_sample(line, np.random.default_rng(s))
+                 for line, s in zip(lines, seeds)]
+
+        tile_paths: List[str] = []
+        tile_sample: List[int] = []
+        tile_rect: List[tuple] = []
+        tile_hsv: List[tuple] = []
+        fill = np.zeros((n,), np.float32)
+        flip = np.zeros((n,), np.uint8)
+        fallback = np.zeros((n,), bool)
+        # Per sample: list of (tile, rect) actually emitted — mosaic skips
+        # degenerate <2px quads exactly like python mosaic4 does.
+        emitted: List[list] = []
+        for i, plan in enumerate(plans):
+            flip[i] = plan["flip"]
+            em = []
+            if plan["center"] is not None:
+                cy, cx = plan["center"]
+                quads = [(0, 0, cx, cy), (cx, 0, w - cx, cy),
+                         (0, cy, cx, h - cy), (cx, cy, w - cx, h - cy)]
+                for tile, rect in zip(plan["tiles"], quads):
+                    if rect[2] < 2 or rect[3] < 2:
+                        continue
+                    em.append((tile, rect, None))
+            elif self.config.letterbox:
+                # Rect needs the source aspect ratio before decode: a
+                # header-only probe (cached across epochs).  Non-JPEG or
+                # EXIF-rotated files redo the whole sample in python.
+                tile = plan["tiles"][0]
+                dims = self._dims_cache.get(tile[0])
+                if dims is None:
+                    dims = native.probe_dims(tile[0])
+                    self._dims_cache[tile[0]] = dims
+                if dims is None:
+                    fallback[i] = True
+                    emitted.append([])
+                    continue
+                s, dx, dy = letterbox_transform(dims, (h, w))
+                nw = int(round(dims[1] * s))
+                nh = int(round(dims[0] * s))
+                fill[i] = 0.5
+                em.append((tile, (dx, dy, nw, nh), (s, dx, dy)))
+            else:
+                em.append((plan["tiles"][0], (0, 0, w, h), None))
+            for tile, rect, _ in em:
+                tile_paths.append(tile[0])
+                tile_sample.append(i)
+                tile_rect.append(rect)
+                tile_hsv.append(tile[2] if tile[2] is not None
+                                else (0.0, -1.0, 1.0))
+            emitted.append(em)
+
+        X = np.zeros((n, h, w, 3), np.float32)
+        status = np.empty((0,), np.int32)
+        src_hw = np.empty((0, 2), np.int32)
+        if tile_paths:
+            X, status, src_hw = native.ingest_aug_batch(
+                tile_paths, np.asarray(tile_sample), np.asarray(tile_rect),
+                np.asarray(tile_hsv, np.float32), flip, fill, n, (h, w),
+                dct_scale=self.config.fast_decode)
+
+        y_bbox = np.zeros((n, self.max_boxes, 5), np.float32)
+        t = 0
+        for i, (plan, em) in enumerate(zip(plans, emitted)):
+            k = len(em)
+            st, hw = status[t:t + k], src_hw[t:t + k]
+            t += k
+            if fallback[i] or (st != 0).any():
+                # Redo the SAMPLE in python from the same seed — identical
+                # draws by construction, so determinism survives mixed
+                # native/python batches (non-JPEG files, EXIF rotation).
+                X[i], y_bbox[i] = self.get_data(
+                    lines[i], np.random.default_rng(seeds[i]))
+                continue
+            boxes = self._plan_boxes(plan, em, hw, (h, w))
+            if len(boxes):
+                perm = plan["rng"].permutation(len(boxes))
+                boxes = boxes[perm][:self.max_boxes]
+                y_bbox[i, :len(boxes)] = boxes
+
+        X = self._image_wire(X)
+        if self.config.encode_on_device:
+            return {"image": X, "raw_boxes": y_bbox}
+        from .. import native as _native
+        y_tensor, y_true_boxes_xywh = _native.encode_labels_batch(
+            y_bbox, self.target_img_size[:2], self.anchors, self.num_classes,
+            self.config.strides)
+        return {"image": X, "labels": y_tensor, "boxes": y_true_boxes_xywh}
+
+    def _plan_boxes(self, plan: dict, emitted: list, src_hw: np.ndarray,
+                    target_hw) -> np.ndarray:
+        """Box geometry for one planned sample — the same float expressions,
+        in the same order, as the python path (load_and_resize ->
+        mosaic4/letterbox_resize -> random_hflip), so results are
+        bit-identical to get_data's."""
+        h, w = target_hw
+        out = []
+        for (tile, rect, lb), (ih, iw) in zip(emitted, src_hw):
+            # Python ints, NOT np.int32: `w / np.int32` is a STRONG f64
+            # scalar under NEP 50 and would promote the `*=` below to f64
+            # math, off-by-an-ulp from the python path's weak-float f32
+            # computation (img.shape gives python ints there).
+            ih, iw = int(ih), int(iw)
+            boxes = tile[1]
+            if plan["center"] is not None:
+                x0, y0, qw, qh = rect
+                if not len(boxes):
+                    continue
+                # load_and_resize stretch math...
+                b = boxes.astype(np.float32).copy()
+                b[:, [0, 2]] *= w / iw
+                b[:, [1, 3]] *= h / ih
+                # ...then mosaic4's quadrant affine with sw=w, sh=h.
+                b[:, [0, 2]] = b[:, [0, 2]] * (qw / w) + x0
+                b[:, [1, 3]] = b[:, [1, 3]] * (qh / h) + y0
+                b[:, [0, 2]] = np.clip(b[:, [0, 2]], x0, x0 + qw)
+                b[:, [1, 3]] = np.clip(b[:, [1, 3]], y0, y0 + qh)
+                keep = ((b[:, 2] - b[:, 0]) > 2) & ((b[:, 3] - b[:, 1]) > 2)
+                if keep.any():
+                    out.append(b[keep])
+            elif lb is not None:  # letterbox_resize box math
+                if not len(boxes):
+                    continue
+                s, dx, dy = lb
+                b = boxes.astype(np.float32).copy()
+                b[:, [0, 2]] = b[:, [0, 2]] * s + dx
+                b[:, [1, 3]] = b[:, [1, 3]] * s + dy
+                out.append(b)
+            else:  # plain stretch
+                if not len(boxes):
+                    continue
+                b = boxes.astype(np.float32).copy()
+                b[:, [0, 2]] *= w / iw
+                b[:, [1, 3]] *= h / ih
+                out.append(b)
+        boxes = (np.concatenate(out, axis=0) if out
+                 else np.zeros((0, 5), np.float32))
+        if plan["flip"] and len(boxes):  # random_hflip's remap
+            boxes = boxes.astype(np.float32).copy()
+            x1 = boxes[:, 0].copy()
+            boxes[:, 0] = w - boxes[:, 2]
+            boxes[:, 2] = w - x1
+        return boxes
+
     def get_batch(self, index: int) -> dict:
         if self.config.multi_scale is not None:
             # Darknet-style multi-scale: re-draw a square size every
@@ -446,10 +648,19 @@ class DataGenerator:
         # of worker count/scheduling AND identical between the fused-native
         # and python paths (both derive each sample's stream the same way).
         seeds = self.rng.integers(0, 2 ** 63, size=n, dtype=np.uint64)
-        if (self.use_native and not self.mosaic and not self.cutmix
-                and not self.config.letterbox and not self.config.use_hflip
-                and not self.config.use_color_jitter):
-            return self._get_batch_native(lines, seeds)
+        if self.use_native and not self.cutmix:
+            any_aug = (self.mosaic or self.config.letterbox
+                       or self.config.use_hflip
+                       or self.config.use_color_jitter)
+            if not any_aug:
+                return self._get_batch_native(lines, seeds)
+            # Augmented/letterbox batches: plan in python, pixels in C++.
+            # Letterbox-of-mosaic-tiles isn't expressible as one
+            # source->rect resize; that combination stays in python.
+            from .. import native
+            if native.has_jpeg() and not (
+                    self.mosaic and self.config.letterbox):
+                return self._get_batch_native_aug(lines, seeds)
         X = np.empty((n, *self.target_img_size), np.float32)
         y_bbox = np.empty((n, self.max_boxes, 5), np.float32)
         pool = self._get_pool() if n > 1 else None

@@ -101,6 +101,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 i32p]
             lib.yolo_ingest_batch.restype = ctypes.c_int
+            lib.yolo_ingest_aug_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, i32p, i32p,
+                f32p, ctypes.POINTER(ctypes.c_uint8), f32p, f32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, i32p]
+            lib.yolo_ingest_aug_batch.restype = ctypes.c_int
             _jpeg_api = bool(lib.yolodata_has_jpeg())
         except AttributeError:
             # A stale pre-JPEG build of the .so: mtime gating normally
@@ -166,6 +172,22 @@ def imread(path: str, min_hw: Optional[Tuple[int, int]] = None
     return out if rc == 0 else None
 
 
+def probe_dims(path: str) -> Optional[Tuple[int, int]]:
+    """Header-only JPEG probe -> full source (h, w), or None (non-JPEG /
+    EXIF-rotated / unreadable — callers fall back to a full python load).
+    Used by the augmented-ingest planner when a tile rect depends on the
+    source aspect ratio (letterbox) before any pixel is decoded."""
+    lib = _load()
+    if lib is None or not _jpeg_api:
+        return None
+    oh, ow = ctypes.c_int(), ctypes.c_int()
+    fh, fw = ctypes.c_int(), ctypes.c_int()
+    rc = lib.yolo_imread_probe(path.encode(), 0, 0, ctypes.byref(oh),
+                               ctypes.byref(ow), ctypes.byref(fh),
+                               ctypes.byref(fw))
+    return (fh.value, fw.value) if rc == 0 else None
+
+
 def ingest_batch(paths: Sequence[str], boxes: np.ndarray,
                  target_hw: Tuple[int, int], dct_scale: bool = True
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -212,6 +234,56 @@ def ingest_batch(paths: Sequence[str], boxes: np.ndarray,
         imgs[failed] = f_imgs
         out_boxes[failed] = f_boxes
     return imgs, out_boxes
+
+
+def ingest_aug_batch(tile_paths: Sequence[str], tile_sample: np.ndarray,
+                     tile_rect: np.ndarray, tile_hsv: np.ndarray,
+                     flip: np.ndarray, fill: np.ndarray, batch: int,
+                     target_hw: Tuple[int, int], dct_scale: bool = True
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Augmentation-capable native batch ingest (pixels only).
+
+    The caller (DataGenerator) plans every random draw and does all box
+    math; this executes the pixel work tile-by-tile under OpenMP: JPEG
+    decode (DCT-downscaled to just cover each tile), fused bilinear
+    resize + /255 + HSV jitter into the sample canvas rect, then a
+    per-sample horizontal flip.  One GIL release for the whole batch.
+
+    tile_paths: image file per tile; tile_sample: (T,) output sample index;
+    tile_rect: (T, 4) int32 x0,y0,w,h canvas rects; tile_hsv: (T, 3) f32
+    (hue shift in degrees, sat scale, val scale) with sat < 0 meaning no
+    jitter; flip: (B,) uint8; fill: (B,) f32 canvas init value.
+
+    Returns (imgs (B,H,W,3) f32, status (T,) int32 — <0 where a tile
+    failed and the caller must redo that sample in python, src_hw (T, 2)
+    full source dims for box math).  Raises RuntimeError without the
+    native jpeg build (callers gate on has_jpeg()).
+    """
+    lib = _load()
+    if lib is None or not _jpeg_api:
+        raise RuntimeError("native augmented ingest requires the libjpeg "
+                           "build (gate on native.has_jpeg())")
+    dh, dw = int(target_hw[0]), int(target_hw[1])
+    n_tiles = len(tile_paths)
+    tile_sample = np.ascontiguousarray(tile_sample, np.int32)
+    tile_rect = np.ascontiguousarray(tile_rect, np.int32).reshape(n_tiles, 4)
+    tile_hsv = np.ascontiguousarray(tile_hsv, np.float32).reshape(n_tiles, 3)
+    flip = np.ascontiguousarray(flip, np.uint8)
+    fill = np.ascontiguousarray(fill, np.float32)
+    assert tile_sample.shape == (n_tiles,) and flip.shape == (batch,) \
+        and fill.shape == (batch,)
+    imgs = np.empty((batch, dh, dw, 3), np.float32)
+    status = np.full((n_tiles,), -100, np.int32)
+    src_hw = np.zeros((n_tiles, 2), np.int32)
+    cpaths = (ctypes.c_char_p * n_tiles)(*[p.encode() for p in tile_paths])
+    i32 = ctypes.POINTER(ctypes.c_int)
+    lib.yolo_ingest_aug_batch(
+        cpaths, n_tiles, tile_sample.ctypes.data_as(i32),
+        tile_rect.ctypes.data_as(i32), _f32p(tile_hsv),
+        flip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _f32p(fill),
+        _f32p(imgs), batch, dh, dw, int(dct_scale),
+        status.ctypes.data_as(i32), src_hw.ctypes.data_as(i32))
+    return imgs, status, src_hw
 
 
 def _f32p(a: np.ndarray):
