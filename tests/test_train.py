@@ -1260,17 +1260,20 @@ def test_mesh_eval_ragged_matches_trimmed(rng):
     """A ragged validation batch (b=3 on a 2-device mesh) evaluates via
     pad-and-mask to exactly the trimmed batch's loss — instead of raising
     a GSPMD placement error (VERDICT r04 weak#3).  Single-device
-    non-aligned eval (b=3 -> pad 4 + mask) pins the same semantics."""
-    params, state, _ = network.init(C, img_size=64, seed=0)
+    non-aligned eval (b=3 -> pad 4 + mask) pins the same semantics.
+    Shallow depth: pad-and-mask numerics are depth-independent."""
+    cfg = _tiny_cfg()
+    params, state, _ = network.init(C, img_size=64, seed=0,
+                                    csp_repeats=cfg.csp_repeats)
     batch = _synthetic_batch(rng, bs=3)
     batch["image"] = batch["image"].at[2].multiply(0.3)  # heterogeneous
 
     # Ground truth: plain single-device eval on the trimmed batch.
-    tr_single = Trainer(CFG, C, params, state)
+    tr_single = Trainer(cfg, C, params, state)
     loss_trimmed = float(tr_single.eval_step(batch))
 
     # Mesh path: b=3 on 2 devices pads to 4 with a mask.
-    tr_mesh = Trainer(CFG, C, params, state, mesh=make_mesh(2))
+    tr_mesh = Trainer(cfg, C, params, state, mesh=make_mesh(2))
     loss_mesh = float(tr_mesh.eval_step(batch))
     assert loss_mesh == pytest.approx(loss_trimmed, rel=1e-4)
 
@@ -1287,14 +1290,25 @@ def test_mesh_eval_ragged_matches_trimmed(rng):
 
 def test_single_device_eval_nonaligned_pads_and_masks(rng):
     """eval_step on a single device pads an XLA-non-aligned batch
-    (b=34 -> 64) with a validity mask; the loss equals the mean over the
-    34 real samples (a 35th poison sample changes it; the pad rows don't)."""
-    from yolov4tpu.train import pad_mask_batch
+    (b=34 -> 64: the smallest batch that is non-aligned, since any
+    b<=32 is aligned) with a validity mask; the loss equals the mean
+    over the 34 real samples (poisoned pad rows don't leak).  Runs at
+    32px — the masked-eval numerics are resolution-independent."""
+    from yolov4tpu.train import aligned_size, pad_mask_batch
 
-    cfg = _tiny_cfg()
-    params, state, _ = network.init(C, img_size=64, seed=0,
+    assert aligned_size(34) == 64 and aligned_size(33) == 64
+    cfg = YoloConfig(img_size=(32, 32, 3), batch_size=2,
+                     csp_repeats=(1, 1, 1, 1, 1))
+    params, state, _ = network.init(C, img_size=32, seed=0,
                                     csp_repeats=cfg.csp_repeats)
-    batch = _tiny_batch(rng, 34, cfg)
+    imgs = rng.uniform(0, 1, (34, 32, 32, 3)).astype(np.float32)
+    boxes = np.zeros((34, 100, 5), np.float32)
+    boxes[:, 0] = [4, 4, 20, 20, 0]
+    boxes[:, 1] = [15, 10, 30, 30, 1]
+    labels, xywh = preprocess_true_boxes(boxes, (32, 32), cfg.anchors_flat, C)
+    batch = {"image": jnp.asarray(imgs),
+             "labels": [jnp.asarray(l) for l in labels],
+             "boxes": jnp.asarray(xywh)}
     tr = Trainer(cfg, C, params, state)
     loss34 = float(tr.eval_step(batch))
     assert tr._eval_masked is not None  # the masked path actually ran
