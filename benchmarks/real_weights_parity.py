@@ -61,6 +61,24 @@ OUT = os.path.join(
     else "real_weights_parity.json")
 
 
+_T0 = time.monotonic()
+
+
+def _stage(msg):
+    """Flushed, timestamped progress line: a killed run's tail must show
+    how far it got (remote-compile latency is high-variance here)."""
+    print(f"[parity t+{time.monotonic() - _T0:6.1f}s] {msg}", flush=True)
+
+
+def _write_report(report, complete=False):
+    """Write the artifact after EVERY check so a wall-clock kill still
+    leaves a truthful partial record; ``complete`` marks the final write."""
+    report["complete"] = complete
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+
+
 def _weights_path():
     cands = [os.environ.get("YOLOV4_WEIGHTS", ""), "/root/yolov4.weights",
              "/root/repo/yolov4.weights",
@@ -154,7 +172,7 @@ def main() -> int:
         wpath = _calibrated_synthetic(
             x, cfg, os.path.join(_tf.gettempdir(),
                                  "yolov4_synth_calibrated.weights"))
-        print(f"synthetic mode: calibrated weights at {wpath}")
+        _stage(f"synthetic mode: calibrated weights at {wpath}")
     report = {"weights": wpath + (" (synthetic, calibrated)"
                                   if SYNTHETIC else ""),
               "images": paths, "checks": {},
@@ -169,9 +187,10 @@ def main() -> int:
                        config=cfg.replace(nms_impl=impl))
         if impl == "xla":
             model_xla = model
+        _stage(f"[{impl}] compiling+running predict_batch")
         outs[impl] = [np.asarray(o) for o in model.predict_batch(x)]
         print(f"[{impl}] valid detections per image:",
-              outs[impl][3].astype(int).tolist())
+              outs[impl][3].astype(int).tolist(), flush=True)
     names = [l.strip() for l in open("class_names/coco_classes.txt")]
     b0, s0, c0, v0 = outs["xla"]
     for i, p in enumerate(paths):
@@ -191,7 +210,8 @@ def main() -> int:
             impl_ok &= bool(np.abs(s[i, :n] - s0[i, :n]).max() <= 1e-3)
             impl_ok &= bool(np.abs(b[i, :n] - b0[i, :n]).max() <= 1e-3)
     report["checks"]["nms_impls_agree_1e-3"] = impl_ok
-    print("NMS impl cross-check (<=1e-3):", "OK" if impl_ok else "FAIL")
+    _stage("NMS impl cross-check (<=1e-3): " + ("OK" if impl_ok else "FAIL"))
+    _write_report(report)
 
     # --- 4: live-reference differential (optional) ----------------------
     # keras-2 era reference: route tf.keras to the legacy tf_keras package
@@ -225,7 +245,8 @@ def main() -> int:
         rb, rs, rc, rv = [np.asarray(t) for t in ref_inf(x, training=False)]
     except Exception as e:  # noqa: BLE001 — the differential is optional
         report["checks"]["reference_parity_1e-3"] = f"skipped ({e})"
-        print(f"live reference unavailable ({e}); skipping differential")
+        _stage(f"live reference unavailable ({e}); skipping differential")
+        _write_report(report)
     else:
         ref_ok = bool((rv.astype(int) == v0.astype(int)).all())
         max_db = max_ds = 0.0
@@ -242,9 +263,10 @@ def main() -> int:
         report["checks"]["reference_parity_1e-3"] = ref_ok
         report["checks"]["reference_max_box_delta"] = max_db
         report["checks"]["reference_max_score_delta"] = max_ds
-        print(f"reference differential: max box delta {max_db:.2e}, "
-              f"max score delta {max_ds:.2e} ->",
-              "OK" if ref_ok else "FAIL")
+        _stage(f"reference differential: max box delta {max_db:.2e}, "
+               f"max score delta {max_ds:.2e} -> "
+               + ("OK" if ref_ok else "FAIL"))
+        _write_report(report)
 
     # --- 5: mAP pipeline integrity on the real detections ---------------
     # Predictions-as-ground-truth should score ~1.0 — proves the GT export,
@@ -293,12 +315,10 @@ def main() -> int:
             # >=0.95, not ==1.0: GT pixel rounding can demote a borderline
             # match at IoU 0.5.
             report["checks"]["map_pipeline_ok"] = bool(map_val >= 0.95)
-            print(f"mAP pipeline on real detections (self-GT): {map_val:.4f}")
+            _stage(f"mAP pipeline on real detections (self-GT): {map_val:.4f}")
 
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
-        json.dump(report, f, indent=1)
-    print(f"artifact written: {OUT}")
+    _write_report(report, complete=True)
+    _stage(f"artifact written: {OUT}")
     hard = [v for v in report["checks"].values() if v is False]
     return 1 if hard else 0
 
