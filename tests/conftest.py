@@ -49,7 +49,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # dominate).  These tests each measured >=25s there (durations snapshot,
 # round 4); marking them `heavy` leaves a <10-minute inner-loop tier:
 #     python -m pytest tests/ -q -m "not slow and not heavy"
-# The FULL suite (no -m filter plus --slow golden parity) remains the gate
+# The FULL suite (no -m filter; slow golden parity included) remains the gate
 # for commits that touch the train step, mesh paths, or serving export.
 # One central set (not 30 scattered decorators) so the tier is auditable
 # and editable in one place.
