@@ -450,8 +450,14 @@ def _emit(result) -> None:
 
     line = json.dumps(result)
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LAST.json"), "w") as f:
+        # YOLOV4TPU_BENCH_LAST_PATH: artifact destination override — the
+        # self-test suite points it at a tmp file so a simulated-failure
+        # run can never clobber the machine's last REAL bench record.
+        path = os.environ.get(
+            "YOLOV4TPU_BENCH_LAST_PATH",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"))
+        with open(path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass

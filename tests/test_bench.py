@@ -27,10 +27,14 @@ def _last_json_line(stdout: str):
     return None
 
 
-def test_bench_dead_backend_emits_parseable_json():
+def test_bench_dead_backend_emits_parseable_json(tmp_path):
     env = dict(os.environ)
     env["YOLOV4TPU_BENCH_SELFTEST_FAIL"] = "1"
     env["YOLOV4TPU_BENCH_RETRY_DELAYS"] = "0"  # 2 attempts, no sleep
+    # Redirect the artifact: a simulated-failure run must never clobber
+    # the machine's last REAL BENCH_LAST.json.
+    artifact = tmp_path / "BENCH_LAST.json"
+    env["YOLOV4TPU_BENCH_LAST_PATH"] = str(artifact)
     proc = subprocess.run([sys.executable, BENCH], capture_output=True,
                           text=True, env=env, timeout=120, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -44,12 +48,15 @@ def test_bench_dead_backend_emits_parseable_json():
     assert errors and any("simulated dead backend" in e for e in errors)
     # the parent retried: both the child errors and the parent's record
     assert any(e.startswith("parent:") for e in errors)
+    # the file artifact honoured the redirect and matches stdout
+    assert json.loads(artifact.read_text()) == rec
 
 
-def test_bench_child_crash_without_json_still_yields_record():
+def test_bench_child_crash_without_json_still_yields_record(tmp_path):
     """Child killed so hard it prints nothing: parent must still emit."""
     env = dict(os.environ)
     env["YOLOV4TPU_BENCH_RETRY_DELAYS"] = "0"
+    env["YOLOV4TPU_BENCH_LAST_PATH"] = str(tmp_path / "BENCH_LAST.json")
     # Unimportable site dir first on path would be too invasive; instead
     # simulate by pointing the child timeout to ~0 so the parent records a
     # timeout and falls back.
